@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + SURVEY.md §7.2 M9).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {qid: sec, ...}, "sf": ...}.
+
+Each query is forced with a noop sink write — full plan executes on the
+executors, nothing is collected to the driver, which is how a 100 TB run
+would be measured too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+import engine
+from engine.session import get_spark
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    only = sys.argv[1:]  # optional: bench a subset by query id
+    spark = get_spark(app_name="engine-bench")
+
+    timings: dict[str, float] = {}
+    for qid, fn in sorted(engine.QUERIES.items()):
+        if only and qid not in only:
+            continue
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[qid] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "engine_all_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+"""PySpark-native analytics engine.
+
+A from-scratch, Spark-first engine providing the query and data-processing
+capabilities surveyed in SURVEY.md (the reference repo,
+alehakad/FootballDataEngeneering @ /root/reference, contains no code —
+README.md:1-2 + LICENSE only — so the capability contract is SURVEY.md §2's
+operator inventory: relational batch analytics over a star schema, an events
+stream, and LLM-data-pipeline operators, all designed for 100 TB scale).
+
+Importing this package populates the query/oracle registry (see
+``engine.registry``); ``__spark_entry__.py`` is a thin shim over it.
+"""
+
+from engine import registry as registry  # noqa: F401
+
+# Importing the operator modules registers their queries/oracles.
+from engine import relational as relational  # noqa: F401
+from engine import functions as functions  # noqa: F401
+from engine import windows as windows  # noqa: F401
+from engine import streaming as streaming  # noqa: F401
+from engine import llm_ops as llm_ops  # noqa: F401
+from engine import udx as udx  # noqa: F401
+
+QUERIES = registry.QUERIES
+ORACLES = registry.ORACLES

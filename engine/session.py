@@ -1,0 +1,74 @@
+"""SparkSession factory + table loading (SURVEY.md §7.2 M0).
+
+Invariants (SURVEY.md §7.5): UTC session timezone, AQE on, Arrow on,
+small shuffle partition count for the small-sf correctness runs (the
+driver/bench can override via SPARK_GRAFT_CPUS).
+
+Scale note (100 TB design): nothing here is local-mode-specific. On a real
+cluster the same builder runs with a cluster master; shuffle partitions
+should then be sized to ~128 MB of shuffle data per partition (set
+``spark.sql.shuffle.partitions`` accordingly, or rely on AQE coalescing,
+which is enabled here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "pyspark-analytics-engine",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (schemas in FIXTURES.md) as a DataFrame.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    default — read it as long nanos (legacy conf) and truncate to µs
+    TimestampType, matching DuckDB's ns→µs truncation so oracle
+    comparisons agree (SURVEY.md §1.2).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

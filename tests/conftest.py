@@ -1,0 +1,89 @@
+"""Shared fixtures: one SparkSession + one DuckDB connection per test run.
+
+The differential harness here mirrors the driver's check (SURVEY.md §5.2):
+run the Spark query and the DuckDB oracle on the same parquet files,
+compare row count, column names, and (order-insensitively) every value.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from engine.session import TABLES, get_spark
+
+SF_DIR = os.environ.get("ENGINE_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_ORACLE = os.environ.get("ENGINE_ORACLE_SF_DIR", SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="engine-tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon_cell(v):
+    """Canonicalize a value for exact cross-engine comparison."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, (np.integer,)):
+        v = int(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, float):
+        # values are pre-rounded in-query; repr is canonical for equal doubles
+        return repr(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon_cell(x) for x in v)
+    return v
+
+
+def normalize(pdf):
+    """Sort columns by name, canonicalize cells, sort rows → list of tuples."""
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return cols, rows
+
+
+def assert_frames_match(spark_df, oracle_pdf, qid=""):
+    spark_pdf = spark_df.toPandas()
+    s_cols, s_rows = normalize(spark_pdf)
+    o_cols, o_rows = normalize(oracle_pdf)
+    assert s_cols == o_cols, f"{qid}: column mismatch spark={s_cols} oracle={o_cols}"
+    assert len(s_rows) == len(o_rows), (
+        f"{qid}: row count mismatch spark={len(s_rows)} oracle={len(o_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{qid}: {len(mismatches)}/{len(s_rows)} row mismatches; first 3: "
+        + "; ".join(f"row{i} spark={a} oracle={b}" for i, a, b in mismatches[:3])
+    )
