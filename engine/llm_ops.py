@@ -1,1 +1,361 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7.2)."""
+"""LLM-data-pipeline operators (SURVEY.md §2.J; BASELINE.json:6 mandate).
+
+Dedup, near-dup, sketching, similarity search, TF-IDF, text stats,
+multimodal join, and quality filtering over the ``documents`` /
+``embeddings`` fixtures — all as declarative DataFrame plans (explode +
+join + window), no Python in the hot path, no driver-side state.
+
+Tokenization everywhere is whitespace split (FIXTURES.md: tokens carry no
+punctuation, so both engines split identically).
+
+Scale story per operator is inline; the quadratic forms (jaccard, exact
+cosine) are the small-sf correctness witnesses — their scale paths
+(MinHash-LSH banding, LSH-bucketed ANN) are in engine.scale_ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from engine.det import pround
+from engine.registry import query
+from engine.session import load
+
+N_MINHASH = 16
+
+
+def tokens(docs: DataFrame, distinct: bool = False) -> DataFrame:
+    """(doc_id, lang, token) rows; optionally distinct per doc."""
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    return toks.distinct() if distinct else toks
+
+
+def _sq_norm(arr: Column) -> Column:
+    """Σx² over an array<float>, accumulated in double."""
+    return F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σaᵢbᵢ via zip_with + fold, accumulated in double (JVM-side
+    higher-order functions — no Python, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT MD5(text) AS text_md5,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY MD5(text)
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; survivor = min doc_id per hash
+    (SURVEY.md §2.J llm_exact_dedup — deterministic survivor rule,
+    §7.5.9; bare dropDuplicates survivor is partition-order-dependent).
+
+    At 100 TB: one shuffle on the 128-bit hash; group state is one
+    (min, count) pair per distinct text — the canonical first-pass dedup
+    for a training corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "llm_jaccard_neardup",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, token FROM (
+        SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        FROM documents)
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common), 4)
+             AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.8
+    """,
+)
+def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact token-set Jaccard ≥ 0.8 within a language
+    (SURVEY.md §2.J llm_jaccard_neardup).
+
+    Exact-but-quadratic correctness form: explode distinct tokens →
+    self-join on (token, lang) → |∩| per candidate pair; |∪| = |A|+|B|−|∩|.
+    The Jaccard value is a ratio of exact integers — one IEEE division,
+    bit-identical across engines, so the ≥ 0.8 boundary is deterministic.
+    Scale path = MinHash-LSH banding (engine.scale_ops.llm_lsh_neardup):
+    same output contract, shuffle-based candidate generation instead of
+    the all-pairs join (SURVEY.md §7.4).
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(d, distinct=True)
+    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sz.alias("sa"), sz.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", pround(jac, 4).alias("jaccard"))
+    )
+
+
+@query("llm_minhash_sketch")
+def llm_minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signature per document
+    (SURVEY.md §2.J llm_minhash_sketch, no-oracle: rows-only check).
+
+    Portable, deterministic permutation definition: perm_i(token) =
+    md5(token ‖ '#' ‖ i); the signature component is the per-doc minimum.
+    One explode + one grouped aggregate — linear, shuffle-based, the
+    sketch that feeds LSH banding at scale (engine.scale_ops).
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(d, distinct=True)
+    mins = [
+        F.min(F.md5(F.concat(F.col("token"), F.lit(f"#{i}")))).alias(f"h{i:02d}")
+        for i in range(N_MINHASH)
+    ]
+    return tok.groupBy("doc_id").agg(*mins)
+
+
+@query(
+    "llm_cosine_topk",
+    oracle="""
+    WITH el AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+             UNNEST(a.embedding) AS xa, UNNEST(b.embedding) AS xb
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ), dots AS (
+      SELECT probe_id, vec_id,
+             SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+             SUM(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE)) AS na,
+             SUM(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)) AS nb
+      FROM el GROUP BY 1, 2
+    )
+    SELECT probe_id, vec_id,
+           ROUND(dot / (SQRT(na) * SQRT(nb)), 4) AS cosine, rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY probe_id
+               ORDER BY dot / (SQRT(na) * SQRT(nb)) DESC, vec_id) AS rn
+      FROM dots)
+    WHERE rn <= 5
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for probe vectors
+    vec_id < 10 (SURVEY.md §2.J llm_cosine_topk).
+
+    Spark side: broadcast the probes, zip_with/aggregate higher-order
+    dot product in double precision (JVM codegen, no UDF), window rank.
+    The oracle avoids DuckDB's list_cosine_similarity — measured to
+    accumulate in float32 (~1e-8 error, too coarse for a 4-decimal hash)
+    — and recomputes the same double-precision sums via parallel UNNEST.
+
+    This is the correctness witness for ANN; the scale path is the
+    LSH-bucketed variant (engine.scale_ops.llm_ann_lsh): at 100 TB you
+    never cross-join the corpus.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("ea")
+    )
+    cands = emb.select("vec_id", F.col("embedding").alias("eb"))
+    j = F.broadcast(probes).crossJoin(cands).filter(
+        F.col("probe_id") != F.col("vec_id")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        j.select("probe_id", "vec_id", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "probe_id", "vec_id", pround(F.col("cosine_raw"), 4).alias("cosine"), "rn"
+        )
+    )
+
+
+@query(
+    "llm_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ), cl AS (
+      SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dft AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT lang, term, score, rn FROM (
+      SELECT cl.lang, cl.term,
+             ROUND(cl.tf * LN(CAST(n.n_docs AS DOUBLE) / dft.df), 4) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY cl.lang
+               ORDER BY cl.tf * LN(CAST(n.n_docs AS DOUBLE) / dft.df) DESC,
+                        cl.term) AS rn
+      FROM cl JOIN dft ON cl.term = dft.term CROSS JOIN n)
+    WHERE rn <= 10
+    """,
+)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-10 terms per language (SURVEY.md §2.J llm_tfidf_topterms).
+
+    score(lang, term) = tf_lang(term) · ln(N / df(term)) — a single
+    multiply of exact integers through one ln() call, so the only FP op
+    is portable to 1 ulp; summation-order risk is zero by construction.
+    Two shuffles (term counts, doc frequencies) + a broadcast of the
+    1-row corpus count.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(d)
+    tf = tok.groupBy("lang", F.col("token").alias("term")).agg(
+        F.count("*").alias("tf")
+    )
+    dft = tok.groupBy(F.col("token").alias("term")).agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = W.partitionBy("lang").orderBy(F.col("score_raw").desc(), F.col("term"))
+    return (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .select("lang", "term", score.alias("score_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "term", pround(F.col("score_raw"), 4).alias("score"), "rn")
+    )
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(LEN(STRING_SPLIT(text, ' '))), 4) AS avg_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (SURVEY.md §2.J llm_text_stats)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        pround(F.avg("n_chars"), 4).alias("avg_chars"),
+        pround(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "llm_multimodal_join",
+    oracle="""
+    SELECT doc_id, lang, label, n_chars,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS emb_norm
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    """,
+)
+def llm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row = text stats + vector norm + metadata, flat
+    projection (SURVEY.md §2.J llm_multimodal_join; flat scalars only in
+    hashed output per §7.5.10)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "label",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        pround(F.sqrt(_sq_norm(F.col("embedding"))), 4).alias("emb_norm"),
+    )
+
+
+@query(
+    "llm_quality_filter",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE
+             text IS NOT NULL
+             AND LENGTH(text) BETWEEN 100 AND 2000
+             AND lang IN ('en', 'fr', 'es', 'de')
+             AND LEN(STRING_SPLIT(text, ' ')) >= 20) AS n_pass,
+           COUNT(*) FILTER (WHERE NOT (
+             text IS NOT NULL
+             AND LENGTH(text) BETWEEN 100 AND 2000
+             AND lang IN ('en', 'fr', 'es', 'de')
+             AND LEN(STRING_SPLIT(text, ' ')) >= 20)) AS n_fail
+    FROM documents
+    GROUP BY source
+    """,
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality gate with pass/fail accounting per source
+    (SURVEY.md §2.J llm_quality_filter): length band, language whitelist,
+    minimum token count, non-null text."""
+    d = load(spark, sf_dir, "documents")
+    passes = (
+        F.col("text").isNotNull()
+        & F.length("text").between(100, 2000)
+        & F.col("lang").isin("en", "fr", "es", "de")
+        & (F.size(F.split("text", " ")) >= 20)
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(passes, 1)).alias("n_pass"),
+        F.count(F.when(~passes, 1)).alias("n_fail"),
+    )

@@ -1,1 +1,230 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7.2)."""
+"""Streaming-shaped operators (SURVEY.md §2.I).
+
+Batch forms run against the static ``events`` table and are
+oracle-checked; the *same expressions* run over ``spark.readStream``
+(Structured Streaming) — exposed via :func:`events_stream` and the
+``stream_watermark_design`` query (no-oracle: a continuous query can't be
+hash-compared) plus streaming smoke tests in ``tests/test_streaming.py``.
+
+Scale notes: windowed/session aggregation state lives in the executor
+state store keyed by (group, window); the watermark bounds state size —
+without it, 100 TB of late-arriving events would pin unbounded state.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from engine.det import pround
+from engine.registry import query
+from engine.session import load
+
+_SCRATCH = Path(__file__).resolve().parent.parent / ".scratch"
+
+# Explicit schema for the streaming file source (never infer on a stream).
+# ts arrives as long nanos (parquet TIMESTAMP(NANOS), see engine.session.load).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a Structured Streaming source (file replay).
+
+    Identical column surface to the batch ``load(..., 'events')`` so every
+    batch-checked expression in this module runs unchanged on the stream
+    (SURVEY.md §3.4: batch and streaming share one logical-plan front-end).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def tumbling_agg(ev: DataFrame) -> DataFrame:
+    """1 h tumbling window × event_type — shared by batch and streaming."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 h tumbling windows (SURVEY.md §2.I stream_tumbling).
+
+    Spark's ``window()`` aligns to the epoch, as does DuckDB's
+    ``time_bucket`` — window starts agree exactly.
+    """
+    return tumbling_agg(load(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT ws AS window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT TIME_BUCKET(INTERVAL 30 MINUTE, ts) AS ws, value FROM events
+      UNION ALL
+      SELECT TIME_BUCKET(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS ws, value
+      FROM events
+    )
+    GROUP BY ws
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 h windows sliding every 30 min (SURVEY.md §2.I stream_sliding).
+
+    Each event belongs to exactly 2 windows; the oracle reconstructs that
+    as a union of its 30-min bucket and the bucket 30 min earlier.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_agg(ev: DataFrame) -> DataFrame:
+    """Per-user 30-min-gap session aggregate — shared by batch and streaming."""
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 30 min inactivity gap
+    (SURVEY.md §2.I stream_session).
+
+    Boundary semantics verified empirically: a gap of exactly 30:00
+    MERGES (sessions merge when the new event's window touches the
+    previous end), so the oracle's gaps-and-islands flags a new session
+    only when the gap is strictly > 30 min (SURVEY.md §7.6.3).
+    """
+    return session_agg(load(spark, sf_dir, "events"))
+
+
+@query("stream_watermark_design")
+def stream_watermark_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data policy: 10-min watermark + tumbling count, executed as a
+    real Structured Streaming query (SURVEY.md §2.I, no-oracle).
+
+    File-source replay of events.parquet → withWatermark → 1 h window ×
+    event_type counts → memory sink, availableNow trigger (processes the
+    whole fixture as micro-batches, then stops). The watermark bounds
+    state: windows older than max(event time) − 10 min are finalized and
+    evicted; on an unbounded 100 TB stream this is what keeps state-store
+    size O(active windows), not O(history).
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink_name = f"wm_{uuid.uuid4().hex[:8]}"
+    ckpt = _SCRATCH / f"ckpt_{sink_name}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    result = spark.table(sink_name)
+    # materialize before the memory sink is dropped by later queries
+    return spark.createDataFrame(result.collect(), schema=result.schema)

@@ -1,0 +1,47 @@
+"""Structured Streaming smoke tests (SURVEY.md §2.I streaming variants).
+
+The batch forms are oracle-checked in test_differential; here the same
+shared expressions (tumbling_agg, session_agg) run over readStream with
+an availableNow trigger and must reproduce the batch results exactly —
+one logical plan, two execution modes (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+import pytest
+
+from engine.session import load
+from engine.streaming import events_stream, session_agg, tumbling_agg
+from tests.conftest import SF_DIR, normalize
+
+_SCRATCH = Path(__file__).resolve().parent.parent / ".scratch"
+
+
+def _run_stream(spark, stream_df):
+    name = f"smoke_{uuid.uuid4().hex[:8]}"
+    ckpt = _SCRATCH / f"ckpt_{name}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).toPandas()
+
+
+@pytest.mark.parametrize("agg_fn", [tumbling_agg, session_agg])
+def test_stream_matches_batch(spark, agg_fn):
+    batch = agg_fn(load(spark, SF_DIR, "events")).toPandas()
+    stream = _run_stream(spark, agg_fn(events_stream(spark, SF_DIR)))
+    assert normalize(batch) == normalize(stream)
