@@ -19,6 +19,8 @@ from engine import functions as functions  # noqa: F401
 from engine import windows as windows  # noqa: F401
 from engine import streaming as streaming  # noqa: F401
 from engine import llm_ops as llm_ops  # noqa: F401
+from engine import multimodal as multimodal  # noqa: F401
+from engine import scale_ops as scale_ops  # noqa: F401
 from engine import udx as udx  # noqa: F401
 
 QUERIES = registry.QUERIES

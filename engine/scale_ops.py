@@ -1,0 +1,637 @@
+"""Scale-path operators for large training-data pipelines.
+
+These are the 100 TB-shaped counterparts of engine.llm_ops' exact forms
+(SURVEY.md §7.4) plus the text-analysis suite: MinHash-LSH banded
+near-dup, SimHash signatures + banded Hamming near-dup, embedding-cosine
+near-dup, LSH-bucketed approximate nearest neighbors, corpus-profile
+language ID, token counting (whitespace + BPE-ish subword), continuous
+quality scoring, and shingle fingerprinting.
+
+Everything is deterministic by construction (hashes are md5 of explicit
+strings; "random" hyperplanes are fixed arithmetic functions of (plane,
+dim)), so every operator here carries a full DuckDB oracle — including
+the LSH pipelines, whose banding is mirrored in SQL.
+
+Scale notes: every pipeline is shuffle-based with per-key bounded state —
+banding turns all-pairs O(n²) into O(Σ bucket²); no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from engine.det import pround
+from engine.llm_ops import N_MINHASH, _dot, _sq_norm, tokens
+from engine.registry import query
+from engine.session import load
+
+N_BANDS = 4  # MinHash-LSH: 4 bands × 4 rows over the 16-perm signature
+SIMHASH_BITS = 32
+ANN_PLANES = 8
+COSINE_NEARDUP_T = 0.35  # fixture embeddings are near-orthogonal (max ~0.44)
+
+_TOK_SQL = """
+      SELECT DISTINCT doc_id, lang, token FROM (
+        SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup (scale path of llm_jaccard_neardup)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sig(tok: DataFrame) -> DataFrame:
+    mins = [
+        F.min(F.md5(F.concat(F.col("token"), F.lit(f"#{i}")))).alias(f"h{i:02d}")
+        for i in range(N_MINHASH)
+    ]
+    return tok.groupBy("doc_id", "lang").agg(*mins)
+
+
+def _lsh_oracle() -> str:
+    mins = ",\n             ".join(
+        f"MIN(MD5(token || '#{i}')) AS h{i:02d}" for i in range(N_MINHASH)
+    )
+    per_band = N_MINHASH // N_BANDS
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, lang, {b} AS band, MD5(CONCAT_WS('|', {hs})) AS bv FROM sig".format(
+            b=b,
+            hs=", ".join(
+                f"h{i:02d}" for i in range(b * per_band, (b + 1) * per_band)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH tok AS ({_TOK_SQL}),
+    sig AS (
+      SELECT doc_id, lang,
+             {mins}
+      FROM tok GROUP BY doc_id, lang
+    ), bands AS (
+{band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common), 4)
+             AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.8
+    """
+
+
+@query("llm_lsh_neardup", oracle=_lsh_oracle())
+def llm_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banded near-dup: the 100 TB path for Jaccard ≥ 0.8
+    (SURVEY.md §7.4).
+
+    shingle→minhash (16 perms) → 4 bands × 4 rows → band-hash bucket
+    join → exact-Jaccard verify of candidates only. Same output contract
+    as llm_jaccard_neardup but candidate generation is O(Σ bucket²)
+    instead of all-pairs; at 0.8 similarity the 4×4 banding catches a
+    pair with p = 1-(1-0.8⁴)⁴ ≈ 0.89 per the S-curve (a production run
+    raises perms/bands for recall — parameters are constants above).
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(d, distinct=True)
+    sig = _minhash_sig(tok)
+    per_band = N_MINHASH // N_BANDS
+    bands = None
+    for b in range(N_BANDS):
+        hs = [f"h{i:02d}" for i in range(b * per_band, (b + 1) * per_band)]
+        part = sig.select(
+            "doc_id",
+            "lang",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *hs)).alias("bv"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sz.alias("sa"), sz.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", pround(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _hexdigit(dialect: str, j: int) -> str:
+    """Value 0-15 of the j-th (1-based) hex char of md5(token)."""
+    fn = "INSTR" if dialect == "spark" else "STRPOS"
+    return f"({fn}('0123456789abcdef', SUBSTRING(MD5(token), {j}, 1)) - 1)"
+
+
+def _bit(dialect: str, i: int) -> str:
+    """Bit i (0-based) of md5(token), from hex digit i//4, bit i%4."""
+    dv = _hexdigit(dialect, i // 4 + 1)
+    if dialect == "spark":
+        return f"(SHIFTRIGHT({dv}, {i % 4}) & 1)"
+    return f"(({dv} >> {i % 4}) & 1)"
+
+
+def _simhash_select(dialect: str) -> str:
+    """SUM/CASE SimHash: s_i = Σ_tokens ±1 (tf-weighted via non-distinct
+    explode); bit_i = s_i > 0; simhash = Σ bit_i·2^i."""
+    terms = ", ".join(
+        f"SUM(CASE WHEN {_bit(dialect, i)} = 1 THEN 1 ELSE -1 END) AS s{i:02d}"
+        for i in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{i:02d} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return terms, assemble
+
+
+_SPARK_SIMHASH_TERMS, _SPARK_SIMHASH_ASSEMBLE = _simhash_select("spark")
+_DUCK_SIMHASH_TERMS, _DUCK_SIMHASH_ASSEMBLE = _simhash_select("duck")
+
+_DUCK_SIMHASH_CTE = f"""
+    tokraw AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ), sums AS (
+      SELECT doc_id, {_DUCK_SIMHASH_TERMS}
+      FROM tokraw GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {_DUCK_SIMHASH_ASSEMBLE} AS simhash FROM sums
+    )
+"""
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) via the same generated expressions, SQL front-end
+    (SURVEY.md §3.3: SQL and DataFrame share one plan IR)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("sh_docs")
+    return spark.sql(
+        f"""
+        WITH tokraw AS (
+          SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS token FROM sh_docs
+        ), sums AS (
+          SELECT doc_id, {_SPARK_SIMHASH_TERMS}
+          FROM tokraw GROUP BY doc_id
+        )
+        SELECT doc_id, {_SPARK_SIMHASH_ASSEMBLE} AS simhash FROM sums
+        """
+    )
+
+
+@query(
+    "llm_simhash",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM sig
+    """,
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document.
+
+    Portable definition: bit i of md5(token) (parsed hex-digit-wise, no
+    engine-specific hex casts) contributes ±1 weighted by term frequency;
+    the signature bit is the sign of the sum. One explode + one grouped
+    aggregate — linear in corpus size, the near-dup sketch whose Hamming
+    distance approximates cosine similarity of tf vectors.
+    """
+    return _simhash_df(spark, sf_dir)
+
+
+@query(
+    "llm_simhash_neardup",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH_CTE},
+    bands AS (
+      SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
+      FROM sig, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                      b.doc_id AS doc_b, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup: Hamming distance ≤ 3 over 32-bit
+    signatures.
+
+    4 disjoint 8-bit bands: any pair within Hamming 3 shares at least one
+    untouched band (pigeonhole), so the band-bucket join is *exact* for
+    this radius — O(Σ bucket²) candidates instead of all-pairs, then a
+    cheap popcount verify. The standard web-scale near-dup layout.
+    """
+    sig = _simhash_df(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).withColumn("bv", F.expr("shiftright(simhash, b * 8) & 255"))
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sim_a ^ sim_b)")
+    return cand.filter(hamming <= 3).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: exact near-dup + LSH-bucketed ANN
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_embedding_neardup",
+    oracle=f"""
+    WITH el AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             UNNEST(a.embedding) AS xa, UNNEST(b.embedding) AS xb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ), d AS (
+      SELECT va, vb,
+             SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+             SUM(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE)) AS na,
+             SUM(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)) AS nb
+      FROM el GROUP BY 1, 2
+    )
+    SELECT va AS vec_a, vb AS vec_b,
+           ROUND(dot / (SQRT(na) * SQRT(nb)), 4) AS cosine
+    FROM d
+    WHERE dot / (SQRT(na) * SQRT(nb)) >= {COSINE_NEARDUP_T}
+    """,
+)
+def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ {T}).
+
+    Exact all-pairs correctness witness (fixture embeddings are
+    near-orthogonal; max pairwise cosine ≈ 0.44, so the 0.35 threshold
+    yields a small nonempty pair set). Scale path: bucket with llm_ann_lsh
+    hyperplanes first, verify within buckets.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    j = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))
+    )
+    return (
+        j.select("vec_a", "vec_b", cos.alias("c"))
+        .filter(F.col("c") >= COSINE_NEARDUP_T)
+        .select("vec_a", "vec_b", pround(F.col("c"), 4).alias("cosine"))
+    )
+
+
+def _plane_weight(k: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    a fixed arithmetic function of (plane, dim) — portable to SQL."""
+    return ((k * 97 + d * 31) % 101 - 50) / 50.0
+
+
+@query(
+    "llm_ann_lsh",
+    oracle=f"""
+    WITH el AS (
+      SELECT vec_id, UNNEST(embedding) AS x,
+             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS d
+      FROM embeddings
+    ), proj AS (
+      SELECT el.vec_id, k.k,
+             SUM(CAST(x AS DOUBLE) *
+                 ((((k.k * 97 + (d - 1) * 31) % 101) - 50) / 50.0)) AS dot
+      FROM el, (SELECT UNNEST(GENERATE_SERIES(0, {ANN_PLANES - 1})) AS k) k
+      GROUP BY 1, 2
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN (1 << k) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM proj GROUP BY vec_id
+    ), cand AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS vec_id
+      FROM buckets p JOIN buckets c
+        ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+      WHERE p.vec_id < 10
+    ), pel AS (
+      SELECT cand.probe_id, cand.vec_id,
+             UNNEST(a.embedding) AS xa, UNNEST(b.embedding) AS xb
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.probe_id
+      JOIN embeddings b ON b.vec_id = cand.vec_id
+    ), dots AS (
+      SELECT probe_id, vec_id,
+             SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+             SUM(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE)) AS na,
+             SUM(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)) AS nb
+      FROM pel GROUP BY 1, 2
+    )
+    SELECT probe_id, vec_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 4) AS cosine, rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY probe_id
+               ORDER BY dot / (SQRT(na) * SQRT(nb)) DESC, vec_id) AS rn
+      FROM dots)
+    WHERE rn <= 3
+    """,
+)
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (scale path of
+    llm_cosine_topk).
+
+    8 deterministic random-hyperplane signs → 256 buckets; probes
+    (vec_id < 10) retrieve only their own bucket, exact top-3 cosine
+    within it. At 100 TB the bucket join replaces the corpus cross-join —
+    candidates per probe are O(n/2^planes); recall tunes via
+    multi-probe/more tables, parameters are constants above. Hyperplane
+    weights are fixed arithmetic in (plane, dim) so the oracle mirrors
+    them exactly in SQL.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(_plane_weight(k, d)) for d in range(64)]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for k in range(ANN_PLANES)
+    ]
+    bucket = None
+    for k, dk in enumerate(dots):
+        term = F.when(dk > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    withb = emb.select("vec_id", "embedding", bucket.cast("bigint").alias("bucket"))
+    probes = withb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+    )
+    cands = withb.select("vec_id", F.col("embedding").alias("eb"), "bucket")
+    j = probes.join(cands, "bucket").filter(F.col("probe_id") != F.col("vec_id"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("c").desc(), F.col("vec_id"))
+    return (
+        j.select("probe_id", "vec_id", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "vec_id", pround(F.col("c"), 4).alias("cosine"), "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis suite
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_lang_id",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents
+    ), prof AS (
+      SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+    ), tot AS (
+      SELECT lang, COUNT(*) AS total FROM tok GROUP BY 1
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), scores AS (
+      SELECT tf.doc_id, prof.lang AS cand_lang,
+             SUM(tf.tf * LN(CAST(prof.cnt AS DOUBLE) / tot.total)) AS score
+      FROM tf
+      JOIN prof ON tf.token = prof.token
+      JOIN tot ON prof.lang = tot.lang
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT doc_id, cand_lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand_lang) AS rn
+      FROM scores
+    )
+    SELECT r.doc_id, d.lang AS actual_lang, r.cand_lang AS pred_lang,
+           ROUND(r.score, 4) AS score,
+           CAST(r.cand_lang = d.lang AS INT) AS correct
+    FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+    WHERE r.rn = 1
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via corpus-learned token profiles.
+
+    The classic n-gram-profile architecture (train per-language unigram
+    log-probabilities, classify by argmax Σ tf·ln p) expressed as joins +
+    aggregates. On the synthetic fixtures (identical vocabulary across
+    languages) accuracy is near-chance by design — the operator contract
+    is the deterministic pipeline, which at 100 TB is two shuffles (profile
+    build broadcast-joins into the scoring pass).
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(d)
+    prof = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    tot = tok.groupBy("lang").agg(F.count("*").alias("total"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    scores = (
+        tf.join(prof, "token")
+        .join(tot, "lang")
+        .groupBy("doc_id", F.col("lang").alias("cand_lang"))
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log(F.col("cnt").cast("double") / F.col("total"))
+            ).alias("score")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
+    best = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    actual = d.select("doc_id", F.col("lang").alias("actual_lang"))
+    return best.join(actual, "doc_id").select(
+        "doc_id",
+        "actual_lang",
+        F.col("cand_lang").alias("pred_lang"),
+        pround(F.col("score"), 4).alias("score"),
+        (F.col("cand_lang") == F.col("actual_lang")).cast("int").alias("correct"),
+    )
+
+
+@query(
+    "llm_token_count",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_ws_tokens,
+           CAST(SUM(CAST(CEIL(LENGTH(token) / 4.0) AS BIGINT)) AS BIGINT)
+             AS n_bpe_tokens,
+           ROUND(CAST(SUM(LENGTH(token)) AS DOUBLE) / COUNT(*), 4)
+             AS avg_token_chars
+    FROM tok GROUP BY doc_id
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (⌈len/4⌉ pieces per token — the standard ~4-chars-per-token heuristic)
+    and mean token length. Linear explode + aggregate."""
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(d).select("doc_id", "token")
+    return tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_ws_tokens"),
+        F.sum(F.ceil(F.length("token") / 4.0)).alias("n_bpe_tokens"),
+        pround(
+            F.sum(F.length("token")).cast("double") / F.count("*"), 4
+        ).alias("avg_token_chars"),
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ), st AS (
+      SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT token) AS n_uniq
+      FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           -- CAST to DOUBLE before the decimal literals: DuckDB otherwise
+           -- evaluates 0.4 * ... in exact DECIMAL, diverging from Spark's
+           -- double math at the rounding boundary
+           ROUND(0.4 * CAST(LEAST(d.n_chars, 500) AS DOUBLE) / 500.0
+               + 0.3 * CAST(LEAST(st.n_tok, 60) AS DOUBLE) / 60.0
+               + 0.3 * (CAST(st.n_uniq AS DOUBLE) / st.n_tok), 4) AS quality
+    FROM documents d JOIN st ON d.doc_id = st.doc_id
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous document quality score in [0, 1]: length saturation,
+    token-count saturation, and lexical diversity (distinct/total token
+    ratio) — the heuristic-quality-signal family used for corpus
+    filtering, as one declarative aggregate."""
+    d = load(spark, sf_dir, "documents")
+    st = (
+        tokens(d)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.countDistinct("token").alias("n_uniq"),
+        )
+    )
+    quality = (
+        0.4 * F.least(F.col("n_chars"), F.lit(500)) / 500.0
+        + 0.3 * F.least(F.col("n_tok"), F.lit(60)) / 60.0
+        + 0.3 * (F.col("n_uniq").cast("double") / F.col("n_tok"))
+    )
+    return d.join(st, "doc_id").select(
+        "doc_id", pround(quality, 4).alias("quality")
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             ARRAY_TO_STRING(
+               LIST_SLICE(STRING_SPLIT(text, ' '), i, i + 2), ' ') AS shingle
+      FROM (
+        SELECT doc_id, text,
+               UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2)) AS i
+        FROM documents
+        WHERE LEN(STRING_SPLIT(text, ' ')) >= 3)
+    )
+    SELECT doc_id,
+           MIN(MD5(shingle)) AS fp_min,
+           COUNT(*) AS n_shingles,
+           COUNT(DISTINCT shingle) AS n_distinct_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting over rolling 3-token shingles: min-hash
+    fingerprint + shingle cardinalities (winnowing-style content
+    fingerprint; the min over a rolling window of hashed k-grams).
+    Shingling is an array transform over the split — no second explode
+    pass over raw text, no Python."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+    )
+    return (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.md5("shingle")).alias("fp_min"),
+            F.count("*").alias("n_shingles"),
+            F.countDistinct("shingle").alias("n_distinct_shingles"),
+        )
+    )
