@@ -117,29 +117,91 @@ def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     tok = tokens(d, distinct=True)
-    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Physical plan: bitset-packed set-similarity join, not the naive
+    # token×token self-join (which materializes Σ df² rows through a
+    # shuffle — 115M at sf0.1, the fixture vocabulary being tiny and
+    # dense). Instead:
+    #   1. dictionary-encode tokens to dense int ids (vocabulary is the
+    #      small side → broadcast);
+    #   2. pack each doc's token set into a fixed-width bitset
+    #      (array<long>, ⌈V/64⌉ words) with a bit_or aggregate;
+    #   3. pair docs within a language (packed side broadcast — |docs|
+    #      rows of a few longs) under the size-ratio prune
+    #      (J ≥ 0.8 ⟹ min|A|,|B| / max|A|,|B| ≥ 0.8);
+    #   4. verify with |∩| = Σ bit_count(wordᵃ & wordᵇ) — integer ops in
+    #      one codegen stage, no pair aggregate, no quadratic shuffle.
+    # Regime note: the bitset width scales with vocabulary (V/64 longs);
+    # for web-scale vocabularies the exact-quadratic form is infeasible
+    # regardless — that regime is llm_lsh_neardup's (sparse LSH candidate
+    # generation, then this same verify on candidates only).
+    vocab = (
+        tok.select("lang", "token")
+        .distinct()
+        .withColumn(
+            "tokid",
+            F.row_number().over(W.orderBy("lang", "token")) - F.lit(1),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
     )
-    sa, sb = sz.alias("sa"), sz.alias("sb")
+    n_vocab = vocab.count()  # tiny driver scalar, sizes the bitset
+    n_words = (n_vocab + 63) // 64
+    word_masks = (
+        tok.join(F.broadcast(vocab), ["lang", "token"])
+        .withColumn("w", (F.col("tokid") / 64).cast("int"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(tokid % 64 as int)))"
+            ).alias("m")
+        )
+    )
+    packed = (
+        word_masks.groupBy("doc_id", "lang")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("wm"),
+            F.sum(F.expr("bit_count(m)")).alias("n_tok"),
+        )
+        .withColumn(
+            "mask",
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}),"
+                " wi -> coalesce(wm[wi], cast(0 as bigint)))"
+            ),
+        )
+        .drop("wm")
+    )
+    a = packed.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.col("mask").alias("ma"),
+        F.col("n_tok").alias("na"),
+    )
+    b = packed.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        F.col("mask").alias("mb"),
+        F.col("n_tok").alias("nb"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (a["lang"] == b["lang"])
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("na") * 0.8 <= F.col("nb"))
+        & (F.col("nb") * 0.8 <= F.col("na")),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "na",
+        "nb",
+        F.expr(
+            "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("n_common"),
+    )
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", pround(jac, 4).alias("jaccard"))
+    return pairs.filter(jac >= 0.8).select(
+        "doc_a", "doc_b", pround(jac, 4).alias("jaccard")
     )
 
 

@@ -153,7 +153,13 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_year", F.year("o_orderdate")
     )
     try:
-        orders.write.mode("overwrite").partitionBy("o_year").parquet(str(out))
+        # Repartition by the partition column first: without it every task
+        # writes a sliver of every year (tasks × years small files — the
+        # classic partitioned-write amplification); with it each year's
+        # rows land in one task → one well-sized file per partition dir.
+        orders.repartition("o_year").write.mode("overwrite").partitionBy(
+            "o_year"
+        ).parquet(str(out))
         one_year = (
             spark.read.parquet(str(out))
             .filter(F.col("o_year") == 1998)

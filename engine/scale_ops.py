@@ -18,6 +18,11 @@ banding turns all-pairs O(n²) into O(Σ bucket²); no driver-side loops.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -330,18 +335,50 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-orthogonal; max pairwise cosine ≈ 0.44, so the 0.35 threshold
     yields a small nonempty pair set). Scale path: bucket with llm_ann_lsh
     hyperplanes first, verify within buckets.
+
+    Physical plan: broadcast block-matmul, not a pair join. One side stays
+    a distributed scan; the other is collected and broadcast to executors
+    (same fits-in-memory contract as a broadcast hash join — embeddings
+    are the *small* dimension here; corpora that outgrow it use the LSH
+    bucketing instead). Each Arrow batch computes a (batch × corpus)
+    numpy dot-product block and emits only the pairs over threshold, so
+    nothing quadratic is ever materialized in the plan — no shuffle, no
+    2M-row join, no per-element interpreted expression eval.
     """
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    j = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))
-    )
-    return (
-        j.select("vec_a", "vec_b", cos.alias("c"))
-        .filter(F.col("c") >= COSINE_NEARDUP_T)
-        .select("vec_a", "vec_b", pround(F.col("c"), 4).alias("cosine"))
+    side = emb.select("vec_id", "embedding").toPandas()
+    ids = side["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(side["embedding"].to_numpy()).astype(np.float64)
+    sq = (mat * mat).sum(axis=1)
+    b_side = spark.sparkContext.broadcast((ids, mat, sq))
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b, sq_b = b_side.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # Same arithmetic as the oracle: raw dot / (√Σa²·√Σb²) in f64
+            # (f32×f32 products are exact in f64, so only the summation
+            # order can differ — last-ulp noise well below the 4-dp round).
+            cos = (a_mat @ mat_b.T) / np.sqrt(
+                np.outer((a_mat * a_mat).sum(axis=1), sq_b)
+            )
+            ii, jj = np.nonzero(
+                (cos >= COSINE_NEARDUP_T) & (a_ids[:, None] < ids_b[None, :])
+            )
+            c = cos[ii, jj]
+            yield pd.DataFrame(
+                {
+                    "vec_a": pd.Series(a_ids[ii], dtype="int64"),
+                    "vec_b": pd.Series(ids_b[jj], dtype="int64"),
+                    "cosine": pd.Series(
+                        np.floor(c * 10_000 + 0.5) / 10_000, dtype="float64"
+                    ),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        block, schema="vec_a long, vec_b long, cosine double"
     )
 
 
