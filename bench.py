@@ -27,6 +27,32 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """Steady-state warmup (untimed): JVM JIT + codegen compiler, parquet
+    footer cache, shuffle machinery, and the Python-worker/Arrow pool all
+    have one-time startup costs that would otherwise be charged to
+    whichever query happens to run first (alphabetically)."""
+    from pyspark.sql import functions as F
+
+    force(
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n"))
+    )
+
+    import pandas as pd
+
+    def _noop_pd(it):
+        for pdf in it:
+            yield pdf
+
+    force(
+        spark.createDataFrame(pd.DataFrame({"x": [1, 2]})).mapInPandas(
+            _noop_pd, schema="x long"
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -34,6 +60,7 @@ def main() -> None:
 
     only = sys.argv[1:]  # optional: bench a subset by query id
     spark = get_spark(app_name="engine-bench")
+    warmup(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for qid, fn in sorted(engine.QUERIES.items()):

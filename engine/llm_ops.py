@@ -34,6 +34,81 @@ def tokens(docs: DataFrame, distinct: bool = False) -> DataFrame:
     return toks.distinct() if distinct else toks
 
 
+def minhash_hashes(tok: DataFrame) -> DataFrame:
+    """Per-distinct-token MinHash permutation hashes (p00..p15).
+
+    perm_i(token) = md5(token ‖ '#' ‖ i) depends only on the token, so
+    it is computed once over the vocabulary (distinct tokens ≪ token
+    occurrences in any real corpus) and joined back to occurrence rows —
+    not recomputed per row. The vocabulary side is broadcast; a
+    vocabulary too large to broadcast can shuffle-join instead and the
+    precompute still wins by the occurrence/vocabulary ratio.
+    """
+    return tok.select("token").distinct().select(
+        "token",
+        *[
+            F.md5(F.concat(F.col("token"), F.lit(f"#{i}"))).alias(f"p{i:02d}")
+            for i in range(N_MINHASH)
+        ],
+    )
+
+
+def packed_token_sets(tok: DataFrame) -> DataFrame:
+    """(doc_id, lang, mask array<long>, n_tok) — each doc's distinct
+    token set dictionary-encoded and packed into a fixed-width bitset.
+
+    Set intersections then cost Σ bit_count(wordᵃ & wordᵇ) — integer ops
+    in one codegen stage instead of per-pair string-set hashing. The
+    bitset width is ⌈V/64⌉ longs (V = vocabulary size, a driver scalar);
+    the regime where V is too large for dense bitsets is the regime
+    where exact all-pairs similarity is infeasible anyway (use the LSH
+    candidate generators, which only need the verify on sparse pairs).
+    """
+    vocab = (
+        tok.select("lang", "token")
+        .distinct()
+        .withColumn(
+            "tokid",
+            F.row_number().over(W.orderBy("lang", "token")) - F.lit(1),
+        )
+    )
+    n_vocab = vocab.count()  # tiny driver scalar, sizes the bitset
+    n_words = (n_vocab + 63) // 64
+    word_masks = (
+        tok.join(F.broadcast(vocab), ["lang", "token"])
+        .withColumn("w", (F.col("tokid") / 64).cast("int"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(tokid % 64 as int)))"
+            ).alias("m")
+        )
+    )
+    return (
+        word_masks.groupBy("doc_id", "lang")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("wm"),
+            F.sum(F.expr("bit_count(m)")).alias("n_tok"),
+        )
+        .withColumn(
+            "mask",
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}),"
+                " wi -> coalesce(wm[wi], cast(0 as bigint)))"
+            ),
+        )
+        .drop("wm")
+    )
+
+
+def bitset_intersection(ma: str, mb: str) -> Column:
+    """|A ∩ B| of two packed bitsets: Σ bit_count(wordᵃ & wordᵇ)."""
+    return F.expr(
+        f"aggregate(zip_with({ma}, {mb}, (x, y) -> bit_count(x & y)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+
+
 def _sq_norm(arr: Column) -> Column:
     """Σx² over an array<float>, accumulated in double."""
     return F.aggregate(
@@ -134,41 +209,7 @@ def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for web-scale vocabularies the exact-quadratic form is infeasible
     # regardless — that regime is llm_lsh_neardup's (sparse LSH candidate
     # generation, then this same verify on candidates only).
-    vocab = (
-        tok.select("lang", "token")
-        .distinct()
-        .withColumn(
-            "tokid",
-            F.row_number().over(W.orderBy("lang", "token")) - F.lit(1),
-        )
-    )
-    n_vocab = vocab.count()  # tiny driver scalar, sizes the bitset
-    n_words = (n_vocab + 63) // 64
-    word_masks = (
-        tok.join(F.broadcast(vocab), ["lang", "token"])
-        .withColumn("w", (F.col("tokid") / 64).cast("int"))
-        .groupBy("doc_id", "lang", "w")
-        .agg(
-            F.expr(
-                "bit_or(shiftleft(cast(1 as bigint), cast(tokid % 64 as int)))"
-            ).alias("m")
-        )
-    )
-    packed = (
-        word_masks.groupBy("doc_id", "lang")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("wm"),
-            F.sum(F.expr("bit_count(m)")).alias("n_tok"),
-        )
-        .withColumn(
-            "mask",
-            F.expr(
-                f"transform(sequence(0, {n_words - 1}),"
-                " wi -> coalesce(wm[wi], cast(0 as bigint)))"
-            ),
-        )
-        .drop("wm")
-    )
+    packed = packed_token_sets(tok)
     a = packed.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
@@ -192,10 +233,7 @@ def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         "na",
         "nb",
-        F.expr(
-            "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)),"
-            " 0L, (acc, x) -> acc + x)"
-        ).alias("n_common"),
+        bitset_intersection("ma", "mb").alias("n_common"),
     )
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
@@ -217,11 +255,10 @@ def llm_minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     tok = tokens(d, distinct=True)
-    mins = [
-        F.min(F.md5(F.concat(F.col("token"), F.lit(f"#{i}")))).alias(f"h{i:02d}")
-        for i in range(N_MINHASH)
-    ]
-    return tok.groupBy("doc_id").agg(*mins)
+    joined = tok.join(F.broadcast(minhash_hashes(tok)), "token")
+    return joined.groupBy("doc_id").agg(
+        *[F.min(f"p{i:02d}").alias(f"h{i:02d}") for i in range(N_MINHASH)]
+    )
 
 
 @query(

@@ -28,7 +28,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from engine.det import pround
-from engine.llm_ops import N_MINHASH, _dot, _sq_norm, tokens
+from engine.llm_ops import (
+    N_MINHASH,
+    _dot,
+    _sq_norm,
+    bitset_intersection,
+    minhash_hashes,
+    packed_token_sets,
+    tokens,
+)
 from engine.registry import query
 from engine.session import load
 
@@ -50,11 +58,13 @@ _TOK_SQL = """
 
 
 def _minhash_sig(tok: DataFrame) -> DataFrame:
-    mins = [
-        F.min(F.md5(F.concat(F.col("token"), F.lit(f"#{i}")))).alias(f"h{i:02d}")
-        for i in range(N_MINHASH)
-    ]
-    return tok.groupBy("doc_id", "lang").agg(*mins)
+    # Permutation hashes precomputed per distinct token (vocabulary ≪
+    # occurrences), broadcast back onto occurrence rows — see
+    # engine.llm_ops.minhash_hashes.
+    joined = tok.join(F.broadcast(minhash_hashes(tok)), "token")
+    return joined.groupBy("doc_id", "lang").agg(
+        *[F.min(f"p{i:02d}").alias(f"h{i:02d}") for i in range(N_MINHASH)]
+    )
 
 
 def _lsh_oracle() -> str:
@@ -119,16 +129,30 @@ def llm_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = tokens(d, distinct=True)
     sig = _minhash_sig(tok)
     per_band = N_MINHASH // N_BANDS
-    bands = None
-    for b in range(N_BANDS):
-        hs = [f"h{i:02d}" for i in range(b * per_band, (b + 1) * per_band)]
-        part = sig.select(
-            "doc_id",
-            "lang",
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *hs)).alias("bv"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # One explode over an array of (band, band-hash) structs — a 4-way
+    # union here would recompute the signature aggregate per branch; the
+    # explode computes it once, and the identical subplans on the two
+    # sides of the self-join reuse one shuffle (ReusedExchange).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            f"h{i:02d}"
+                            for i in range(b * per_band, (b + 1) * per_band)
+                        ],
+                    )
+                ).alias("bv"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "lang", F.explode(band_structs).alias("s")
+    ).select("doc_id", "lang", "s.band", "s.bv")
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -143,24 +167,37 @@ def llm_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    # Exact-Jaccard verify on candidates only, via the packed-bitset
+    # representation (engine.llm_ops.packed_token_sets) — two broadcast
+    # joins + integer popcounts, instead of re-exploding the token table
+    # three times (ta/tb/sizes) through shuffled joins.
+    packed = packed_token_sets(tok)
+    pa = packed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("mask").alias("ma"),
+        F.col("n_tok").alias("na"),
+    )
+    pb = packed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("mask").alias("mb"),
+        F.col("n_tok").alias("nb"),
+    )
     inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        cand.join(F.broadcast(pa), "doc_a")
+        .join(F.broadcast(pb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            bitset_intersection("ma", "mb").alias("n_common"),
+        )
     )
-    sa, sb = sz.alias("sa"), sz.alias("sb")
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", pround(jac, 4).alias("jaccard"))
+    return inter.filter(jac >= 0.8).select(
+        "doc_a", "doc_b", pround(jac, 4).alias("jaccard")
     )
 
 
@@ -197,7 +234,7 @@ def _simhash_select(dialect: str) -> str:
     return terms, assemble
 
 
-_SPARK_SIMHASH_TERMS, _SPARK_SIMHASH_ASSEMBLE = _simhash_select("spark")
+_, _SPARK_SIMHASH_ASSEMBLE = _simhash_select("spark")
 _DUCK_SIMHASH_TERMS, _DUCK_SIMHASH_ASSEMBLE = _simhash_select("duck")
 
 _DUCK_SIMHASH_CTE = f"""
@@ -214,15 +251,31 @@ _DUCK_SIMHASH_CTE = f"""
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) via the same generated expressions, SQL front-end
-    (SURVEY.md §3.3: SQL and DataFrame share one plan IR)."""
+    (SURVEY.md §3.3: SQL and DataFrame share one plan IR).
+
+    The 32 md5-hex-digit bit extractions depend only on the token, so
+    they are computed once per distinct vocabulary entry and joined back
+    to occurrence rows (broadcast — same precompute pattern as
+    engine.llm_ops.minhash_hashes) instead of per occurrence."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("sh_docs")
+    bit_cols = ", ".join(
+        f"{_bit('spark', i)} AS b{i:02d}" for i in range(SIMHASH_BITS)
+    )
+    sum_cols = ", ".join(
+        f"SUM(CASE WHEN b{i:02d} = 1 THEN 1 ELSE -1 END) AS s{i:02d}"
+        for i in range(SIMHASH_BITS)
+    )
     return spark.sql(
         f"""
         WITH tokraw AS (
           SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS token FROM sh_docs
+        ), bits AS (
+          SELECT token, {bit_cols}
+          FROM (SELECT DISTINCT token FROM tokraw)
         ), sums AS (
-          SELECT doc_id, {_SPARK_SIMHASH_TERMS}
-          FROM tokraw GROUP BY doc_id
+          SELECT /*+ BROADCAST(bits) */ doc_id, {sum_cols}
+          FROM tokraw JOIN bits USING (token)
+          GROUP BY doc_id
         )
         SELECT doc_id, {_SPARK_SIMHASH_ASSEMBLE} AS simhash FROM sums
         """
