@@ -725,3 +725,124 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("shingle").alias("n_distinct_shingles"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbors
+# ---------------------------------------------------------------------------
+
+K_IVF = 16  # number of coarse centroids (inverted lists)
+NPROBE = 2  # probe the 2 nearest lists
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH el AS (
+      SELECT vec_id, UNNEST(embedding) AS x,
+             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS d
+      FROM embeddings
+    ), cel AS (
+      SELECT vec_id AS cid, x AS cx, d FROM el WHERE vec_id < {K_IVF}
+    ), vc AS (
+      SELECT el.vec_id, cel.cid,
+             SUM(CAST(el.x AS DOUBLE) * CAST(cel.cx AS DOUBLE)) AS dot,
+             SUM(CAST(el.x AS DOUBLE) * CAST(el.x AS DOUBLE)) AS nv,
+             SUM(CAST(cel.cx AS DOUBLE) * CAST(cel.cx AS DOUBLE)) AS nc
+      FROM el JOIN cel ON el.d = cel.d
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY dot / (SQRT(nv) * SQRT(nc)) DESC, cid) AS rn
+      FROM vc
+    ), assign AS (
+      SELECT vec_id, cid FROM scored WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS probe_id, cid FROM scored
+      WHERE rn <= {NPROBE} AND vec_id < 10
+    ), cand AS (
+      SELECT DISTINCT p.probe_id, a.vec_id
+      FROM probes p JOIN assign a
+        ON p.cid = a.cid AND a.vec_id <> p.probe_id
+    ), pel AS (
+      SELECT cand.probe_id, cand.vec_id,
+             UNNEST(a.embedding) AS xa, UNNEST(b.embedding) AS xb
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.probe_id
+      JOIN embeddings b ON b.vec_id = cand.vec_id
+    ), dots AS (
+      SELECT probe_id, vec_id,
+             SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+             SUM(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE)) AS na,
+             SUM(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)) AS nb
+      FROM pel GROUP BY 1, 2
+    )
+    SELECT probe_id, vec_id,
+           ROUND(dot / (SQRT(na) * SQRT(nb)), 4) AS cosine, rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY probe_id
+               ORDER BY dot / (SQRT(na) * SQRT(nb)) DESC, vec_id) AS rn
+      FROM dots)
+    WHERE rn <= 3
+    """
+
+
+@query("llm_ann_ivf", oracle=_ivf_oracle())
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (the inverted-file counterpart
+    of llm_ann_lsh).
+
+    Coarse quantizer: {K_IVF} deterministic centroids (the first {K_IVF}
+    vectors — a production build replaces this with k-means; the operator
+    contract is the partition/probe plan, which is identical). Every
+    vector joins its nearest centroid's inverted list (one broadcast join
+    against the tiny centroid set + a per-vector argmax window); probes
+    (vec_id < 10) search only their {NPROBE} nearest lists, exact top-3
+    cosine within candidates. At scale the inverted lists are the
+    partitioning scheme: a probe touches NPROBE/K of the corpus instead
+    of all of it, and the centroid set stays broadcast-sized by
+    construction.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < K_IVF).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    sim = _dot(F.col("embedding"), F.col("ce")) / (
+        F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("ce")))
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    scored = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assign = scored.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("embedding").alias("eb"), "cid"
+    )
+    probes = scored.filter(
+        (F.col("rn") <= NPROBE) & (F.col("vec_id") < 10)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("ea"),
+        "cid",
+    )
+    cand = (
+        probes.join(assign, "cid")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "ea", "vec_id", "eb")
+        .distinct()
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))
+    )
+    w_top = W.partitionBy("probe_id").orderBy(F.col("c").desc(), F.col("vec_id"))
+    return (
+        cand.select("probe_id", "vec_id", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "probe_id", "vec_id", pround(F.col("c"), 4).alias("cosine"), "rn"
+        )
+    )

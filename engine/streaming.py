@@ -13,8 +13,11 @@ without it, 100 TB of late-arriving events would pin unbounded state.
 
 from __future__ import annotations
 
+import math
 import shutil
 import uuid
+
+import pandas as pd
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -228,3 +231,112 @@ def stream_watermark_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.table(sink_name)
     # materialize before the memory sink is dropped by later queries
     return spark.createDataFrame(result.collect(), schema=result.schema)
+
+
+def user_state_agg(ev: DataFrame) -> DataFrame:
+    """Per-user lifetime state (count, sum, last-seen) — the batch form
+    of the custom stateful operator; shared output contract with
+    :func:`user_state_stream`."""
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        pround(F.sum("value"), 2).alias("sum_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "stream_user_state",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY 1
+    """,
+)
+def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime state (SURVEY.md §2.I family; batch-checked form
+    of the applyInPandasWithState custom stateful operator)."""
+    return user_state_agg(load(spark, sf_dir, "events"))
+
+
+def user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running
+    (count, sum, last-seen) via ``applyInPandasWithState``.
+
+    This is the escape hatch for stateful logic Spark's built-in
+    windows/aggregates can't express (per-key models, custom eviction,
+    running sketches): state lives in the executor state store keyed by
+    user_id, each micro-batch folds its Arrow batches into the state and
+    emits the updated rows (update mode). State is O(active keys) — at
+    100 TB the watermark/timeout (here NoTimeout; production sets a TTL
+    via GroupStateTimeout) bounds it.
+
+    Returns the streaming DataFrame; callers attach a sink (the smoke
+    test uses a memory sink + availableNow and checks the final state
+    equals :func:`user_state_agg` of the batch table).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "ts", "value")
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            n, s, mx_us = state.get
+        else:
+            n, s, mx_us = 0, 0.0, None
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            batch_mx = pdf["ts"].max()
+            mx_ns = batch_mx.value
+            mx_us = mx_ns // 1000 if mx_us is None else max(mx_us, mx_ns // 1000)
+        state.update((n, s, mx_us))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]], dtype="int64"),
+                "n_events": pd.Series([n], dtype="int64"),
+                "sum_value": pd.Series(
+                    [math.floor(s * 100 + 0.5) / 100], dtype="float64"
+                ),
+                "last_ts": pd.Series([pd.Timestamp(mx_us * 1000)]),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "user_id long, n_events long, sum_value double, last_ts timestamp"
+        ),
+        stateStructType="n bigint, s double, mx_us bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by event_id then count per type (SURVEY.md §2.I
+    family; batch-checked form of streaming dropDuplicates)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: watermark-bounded ``dropDuplicates``.
+
+    The watermark is what makes streaming dedup feasible at scale: seen
+    event_ids older than max(event time) − 10 min are evicted from the
+    state store, so state is O(ids within the watermark horizon), not
+    O(all history). Returns the deduped streaming DataFrame (the smoke
+    test counts rows through a memory sink)."""
+    ev = events_stream(spark, sf_dir)
+    return ev.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])

@@ -45,3 +45,58 @@ def test_stream_matches_batch(spark, agg_fn):
     batch = agg_fn(load(spark, SF_DIR, "events")).toPandas()
     stream = _run_stream(spark, agg_fn(events_stream(spark, SF_DIR)))
     assert normalize(batch) == normalize(stream)
+
+
+def test_stateful_user_state_matches_batch(spark):
+    """applyInPandasWithState final per-user state == batch aggregate.
+
+    Update-mode emissions may repeat a user across micro-batches; the
+    last emission per user is the final state."""
+    from engine.streaming import user_state_agg, user_state_stream
+
+    batch = user_state_agg(load(spark, SF_DIR, "events")).toPandas()
+
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    ckpt = _SCRATCH / f"ckpt_{name}"
+    q = (
+        user_state_stream(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    stream = spark.table(name).toPandas()
+    final = stream.groupby("user_id", as_index=False).last()
+    assert normalize(batch) == normalize(final)
+
+
+def test_stream_dedup_counts(spark):
+    """Watermarked streaming dropDuplicates passes each event_id once."""
+    from engine.streaming import dedup_stream
+
+    n_batch = load(spark, SF_DIR, "events").dropDuplicates(["event_id"]).count()
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = _SCRATCH / f"ckpt_{name}"
+    q = (
+        dedup_stream(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    assert spark.table(name).count() == n_batch
