@@ -29,10 +29,16 @@ def force(df) -> None:
 
 def warmup(spark, sf_dir: str) -> None:
     """Steady-state warmup (untimed): JVM JIT + codegen compiler, parquet
-    footer cache, shuffle machinery, and the Python-worker/Arrow pool all
-    have one-time startup costs that would otherwise be charged to
-    whichever query happens to run first (alphabetically)."""
+    footer cache, shuffle machinery, and the Python worker pools all have
+    one-time startup costs that would otherwise be charged to whichever
+    query happens to run first. Each Python-UDF eval type (batch UDF,
+    pandas scalar, grouped map, mapInPandas, UDTF) spins up its own
+    worker fleet on first use (~5-7 s for 32 interpreters importing
+    pandas), so one tiny query per eval type runs here."""
+    import pandas as pd
+
     from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf, udf, udtf
 
     force(
         spark.read.parquet(f"{sf_dir}/region.parquet")
@@ -40,17 +46,27 @@ def warmup(spark, sf_dir: str) -> None:
         .agg(F.count("*").alias("n"))
     )
 
-    import pandas as pd
+    two = spark.createDataFrame(pd.DataFrame({"x": [1, 2]}))
 
     def _noop_pd(it):
         for pdf in it:
             yield pdf
 
+    force(two.mapInPandas(_noop_pd, schema="x long"))
+    force(two.select(udf(lambda x: x, "long")("x").alias("x")))
+    force(two.select(pandas_udf(lambda s: s, "long")("x").alias("x")))
     force(
-        spark.createDataFrame(pd.DataFrame({"x": [1, 2]})).mapInPandas(
-            _noop_pd, schema="x long"
+        two.groupBy("x").applyInPandas(
+            lambda pdf: pdf, schema="x long"
         )
     )
+
+    @udtf(returnType="y long")
+    class _Echo:
+        def eval(self, x):
+            yield (x,)
+
+    force(_Echo(F.lit(1)))
 
 
 def main() -> None:

@@ -910,3 +910,59 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: the manual skew-mitigation pattern, oracle-checked to
+    be result-identical to the plain join.
+
+    When one join key dominates (a hot customer, a null bucket), the
+    shuffle partition holding it straggles. Salting splits each key into
+    ``N_SALT`` sub-keys: the big (probe) side appends a deterministic
+    salt ``pmod(hash(row-unique-col), N)``, the small (build) side is
+    replicated N ways via an explode — the join key becomes
+    (key, salt), so the hot key's rows spread over N partitions. AQE's
+    skew-join split covers most cases automatically (and is enabled,
+    SURVEY.md §4); salting remains the portable fallback when a single
+    *key* (not just a partition) is hot, because AQE cannot split one
+    key's hash bucket across joins that need co-location.
+
+    Here orders⋈customer is salted 8 ways (customer replicated ×8), then
+    the result joins broadcast nation — the aggregate is over n_name so
+    the salt never leaks into the output, and the oracle is the plain
+    unsalted SQL join.
+    """
+    n_salt = 8
+    o = load(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.hash("o_orderkey"), F.lit(n_salt))
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))),
+        )
+    )
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

@@ -39,7 +39,14 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+        # Sized to DATA, not cores: at the fixture scales every shuffle is
+        # well under 1 GB, so 8 partitions keeps each ≥ the ~128 MB target
+        # and avoids paying 32× task-launch + Python-worker overhead per
+        # stage (measured 1.7× total bench wall at 32). A production run
+        # at real volume overrides via SPARK_GRAFT_SHUFFLE (rule of thumb:
+        # total shuffle bytes / 128 MB, floored at 2-3× total cores) —
+        # and AQE coalescing, enabled below, re-sizes at runtime anyway.
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

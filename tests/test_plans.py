@@ -125,3 +125,43 @@ def test_aqe_enabled(spark, qid):
     partition coalescing, skew splits, join-strategy switches)."""
     p = plan(spark, qid, mode="simple")
     assert "AdaptiveSparkPlan" in p
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """Bucketing both fact tables on the join key at write time removes
+    the shuffle from the join entirely — the 100 TB co-location story:
+    a recurring orders⋈lineitem pipeline pays the shuffle once at ingest,
+    not per query. Asserted: the bucketed join plans no Exchange."""
+    import shutil
+    from pyspark.sql import functions as F
+
+    from engine.session import load
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").format("parquet").mode("overwrite").saveAsTable("b_orders")
+    load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").format("parquet").mode("overwrite").saveAsTable("b_lineitem")
+    try:
+        # Disable auto-broadcast: at sf0.001 both sides fit the 10 MB
+        # threshold, but the property under test is the two-large-facts
+        # regime where broadcast is off the table.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("simple")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, "bucketed join still shuffles"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("b_orders", "b_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
