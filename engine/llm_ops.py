@@ -64,13 +64,34 @@ def packed_token_sets(tok: DataFrame) -> DataFrame:
     where exact all-pairs similarity is infeasible anyway (use the LSH
     candidate generators, which only need the verify on sparse pairs).
     """
-    vocab = (
-        tok.select("lang", "token")
-        .distinct()
+    # Dense ids 0..V-1 without a global-order window (which would funnel
+    # the whole vocabulary through one partition): number tokens within
+    # each language partition, then add per-language offsets. The only
+    # unpartitioned window left runs over #languages rows — metadata-
+    # bounded, not data-bounded.
+    distinct_tokens = tok.select("lang", "token").distinct()
+    per_lang = distinct_tokens.withColumn(
+        "rid",
+        F.row_number().over(W.partitionBy("lang").orderBy("token")) - F.lit(1),
+    )
+    offsets = (
+        distinct_tokens.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
         .withColumn(
-            "tokid",
-            F.row_number().over(W.orderBy("lang", "token")) - F.lit(1),
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    W.orderBy("lang").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
         )
+        .select("lang", "offset")
+    )
+    vocab = per_lang.join(F.broadcast(offsets), "lang").select(
+        "lang", "token", (F.col("rid") + F.col("offset")).alias("tokid")
     )
     n_vocab = vocab.count()  # tiny driver scalar, sizes the bitset
     n_words = (n_vocab + 63) // 64

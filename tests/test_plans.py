@@ -165,3 +165,40 @@ def test_bucketed_join_eliminates_shuffle(spark):
         for t in ("b_orders", "b_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_no_scale_red_flags_any_query(spark):
+    """Sweep every registered plan for patterns that break at scale:
+    cartesian products, nested-loop joins, and data-sized global (single-
+    partition) windows. Whitelists are justified inline — every entry is
+    either bounded metadata or a deliberately-broadcast tiny side."""
+    side_effecting = {
+        "source_csv_roundtrip",
+        "source_json_roundtrip",
+        "sink_partitioned_parquet",
+        "stream_watermark_design",
+    }
+    # BroadcastNestedLoopJoin is correct when the broadcast side is
+    # constant-bounded: a 1-row corpus-count, a ≤10-row probe set, a
+    # 25×5 grid, or the K_IVF centroid set.
+    bnlj_ok = {"join_cross", "llm_cosine_topk", "llm_tfidf_topterms",
+               "llm_ann_ivf", "llm_quality_filter"}
+    # An unpartitioned window is acceptable only over metadata-bounded
+    # input: the per-language offset table (#languages rows) of the
+    # bitset dictionary, and single-row final aggregates.
+    global_window_ok = {"llm_jaccard_neardup", "llm_lsh_neardup"}
+    for qid in sorted(engine.QUERIES):
+        if qid in side_effecting:
+            continue
+        p = plan(spark, qid)
+        if qid != "join_cross":
+            assert "CartesianProduct" not in p, f"{qid}: cartesian product"
+        if qid not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in p, f"{qid}: BNLJ"
+        if qid not in global_window_ok:
+            # SinglePartition exchanges from ungrouped final aggregates
+            # are fine; a Window over one reports both markers.
+            if "Window" in p and "SinglePartition" in p:
+                assert "windowspecdefinition()" not in p, (
+                    f"{qid}: global window"
+                )
