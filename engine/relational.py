@@ -966,3 +966,26 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query("source_orc_roundtrip")
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read roundtrip (SURVEY.md §2.A family, no-oracle:
+    side-effecting). Same contract as the CSV/JSON roundtrips over the
+    third columnar format Spark ships natively."""
+    out = _SCRATCH / f"orc_{uuid.uuid4().hex}"
+    agg = (
+        load(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            pround(F.sum("s_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+    try:
+        agg.write.mode("overwrite").orc(str(out))
+        back = spark.read.orc(str(out))
+        back.count()  # force read before scratch cleanup
+        return agg.orderBy("s_nationkey")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -340,3 +340,77 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     test counts rows through a memory sink)."""
     ev = events_stream(spark, sf_dir)
     return ev.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+
+
+def interval_join_agg(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Per-user count of (purchase, prior-click-within-10-min) pairs —
+    shared by the batch form and the stream-stream join."""
+    p = purchases.select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = clicks.select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+    return (
+        p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") < F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy(F.col("pu").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id, COUNT(*) AS n_pairs
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+    GROUP BY p.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase⋈click interval join per user (SURVEY.md §2.I family;
+    batch-checked form of the Structured Streaming stream-stream join).
+
+    The equi component (user_id) keys the shuffle; the interval predicate
+    evaluates within co-partitioned groups — never a cartesian.
+    """
+    ev = load(spark, sf_dir, "events")
+    return interval_join_agg(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+def stream_stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form: two watermarked streams, interval join.
+
+    Both sides carry a watermark and the join condition time-bounds each
+    side against the other, so Spark derives state-eviction horizons for
+    BOTH join buffers — the requirement that makes an unbounded
+    stream-stream join feasible: buffered rows older than the horizon
+    are dropped, state is O(events within the interval), not O(stream).
+    The smoke test joins the replayed fixture and compares pair rows
+    against the batch interval join.
+    """
+    ev = events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+        .withWatermark("pts", "10 minutes")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+        .withWatermark("cts", "10 minutes")
+    )
+    return p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES")),
+    )

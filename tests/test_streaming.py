@@ -100,3 +100,45 @@ def test_stream_dedup_counts(spark):
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     assert spark.table(name).count() == n_batch
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream interval join emits exactly the batch
+    join's pair set."""
+    from pyspark.sql import functions as F
+
+    from engine.streaming import stream_stream_join_stream
+
+    ev = load(spark, SF_DIR, "events")
+    batch_pairs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+        .join(
+            ev.filter(F.col("event_type") == "click").select(
+                F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+            ),
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") < F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES")),
+        )
+        .toPandas()
+    )
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    ckpt = _SCRATCH / f"ckpt_{name}"
+    q = (
+        stream_stream_join_stream(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    stream_pairs = spark.table(name).toPandas()
+    assert normalize(batch_pairs) == normalize(stream_pairs)
