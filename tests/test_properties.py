@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis) for the custom plan rewrites.
+
+The differential suite checks the fixtures; these check the *logic* on
+adversarial inputs hypothesis generates — the places where a subtle bug
+would survive a fixture pass: bitset packing, as-of window rewrite, LSH
+candidate soundness.
+
+Spark jobs per example are slow, so example counts are small and data is
+tiny; the properties target boundary structure (ties, empty sets,
+single-token docs), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from engine.llm_ops import bitset_intersection, packed_token_sets
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Small vocab so collisions/full-overlap cases actually occur.
+TOKENS = st.sampled_from(["a", "b", "c", "dd", "ee", "fff"])
+DOC = st.lists(TOKENS, min_size=1, max_size=8)
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=6))
+@SETTINGS
+def test_bitset_intersection_matches_python_sets(spark, docs):
+    """|A∩B| via packed bitsets == python set intersection, for every
+    doc pair, on arbitrary small corpora (one language)."""
+    rows = [
+        (i, "xx", " ".join(doc)) for i, doc in enumerate(docs)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    packed = packed_token_sets(tok)
+    a = packed.select(
+        F.col("doc_id").alias("da"),
+        F.col("mask").alias("ma"),
+        F.col("n_tok").alias("na"),
+    )
+    b = packed.select(
+        F.col("doc_id").alias("db"),
+        F.col("mask").alias("mb"),
+        F.col("n_tok").alias("nb"),
+    )
+    got = {
+        (r.da, r.db): (r.inter, r.na, r.nb)
+        for r in a.crossJoin(b)
+        .select(
+            "da", "db", "na", "nb",
+            bitset_intersection("ma", "mb").alias("inter"),
+        )
+        .collect()
+    }
+    sets = {i: set(doc) for i, doc in enumerate(docs)}
+    for i in sets:
+        for j in sets:
+            inter, na, nb = got[(i, j)]
+            assert inter == len(sets[i] & sets[j]), (i, j, docs)
+            assert na == len(sets[i]) and nb == len(sets[j])
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user_id
+            st.integers(0, 50),  # ts offset (seconds) — ties across users ok
+            st.booleans(),  # True = purchase, False = click
+        ),
+        min_size=1,
+        max_size=14,
+        unique_by=lambda e: (e[0], e[1]),  # (user, ts) unique, as fixtures
+    )
+)
+@SETTINGS
+def test_asof_window_rewrite_matches_reference(spark, events):
+    """The union-tag + last(ignorenulls) as-of rewrite == a per-row
+    python reference (most recent click at-or-before each purchase)."""
+    rows = [
+        (i, u, 1_700_000_000 + ts, "purchase" if p else "click")
+        for i, (u, ts, p) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, epoch long, event_type string"
+    ).withColumn("ts", F.col("epoch").cast("timestamp")).drop("epoch")
+
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    got = {
+        r.event_id: r.click_ts
+        for r in ev.withColumn(
+            "click_ts", F.last(click_ts, ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    }
+
+    for i, (u, ts, p) in enumerate(events):
+        if not p:
+            continue
+        prior = [
+            ts2
+            for (u2, ts2, p2) in events
+            if u2 == u and not p2 and ts2 <= ts
+        ]
+        want = max(prior) if prior else None
+        got_ts = got[i]
+        got_epoch = (
+            None if got_ts is None else int(got_ts.timestamp()) - 1_700_000_000
+        )
+        assert got_epoch == want, (i, events)
+
+
+def test_lsh_pairs_subset_of_exact_jaccard(spark):
+    """Soundness: every LSH-banded near-dup pair is an exact-Jaccard
+    near-dup pair (the banding only generates candidates; the verify is
+    exact — so false positives are impossible, only misses)."""
+    import engine
+
+    sf = "/root/testdata/sf0.001"
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in engine.QUERIES["llm_lsh_neardup"](spark, sf).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in engine.QUERIES["llm_jaccard_neardup"](spark, sf).collect()
+    }
+    assert lsh <= exact
