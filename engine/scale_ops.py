@@ -846,3 +846,105 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id", "vec_id", pround(F.col("c"), 4).alias("cosine"), "rn"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative: k-means over embeddings (unrolled Lloyd iterations)
+# ---------------------------------------------------------------------------
+
+K_KMEANS = 4
+KMEANS_ITERS = 2
+
+
+def _kmeans_oracle() -> str:
+    cte = """
+    el AS (
+      SELECT vec_id, CAST(x AS DOUBLE) AS x, d FROM (
+        SELECT vec_id, UNNEST(embedding) AS x,
+               UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS d
+        FROM embeddings)
+    ), c0 AS (
+      SELECT vec_id AS cid, d, x AS cx FROM el WHERE vec_id < {k}
+    )""".format(k=K_KMEANS)
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        cte += """, d{i} AS (
+      SELECT el.vec_id, c.cid,
+             SUM((el.x - c.cx) * (el.x - c.cx)) AS dist
+      FROM el JOIN {prev} c ON el.d = c.d
+      GROUP BY 1, 2
+    ), a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d{i}) WHERE rn = 1
+    ), c{i} AS (
+      SELECT a.cid, el.d, SUM(el.x) / COUNT(*) AS cx
+      FROM el JOIN a{i} a USING (vec_id)
+      GROUP BY 1, 2
+    )""".format(i=i, prev=prev)
+        prev = f"c{i}"
+    last = KMEANS_ITERS
+    return f"""
+    WITH {cte}
+    SELECT n.cid AS cluster, n.n_members, ROUND(SQRT(s.ss), 4) AS c_norm
+    FROM (SELECT cid, COUNT(*) AS n_members FROM a{last} GROUP BY 1) n
+    JOIN (SELECT cid, SUM(cx * cx) AS ss FROM c{last} GROUP BY 1) s
+      ON n.cid = s.cid
+    """
+
+
+@query("llm_kmeans", oracle=_kmeans_oracle())
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus: {K_KMEANS} clusters,
+    {KMEANS_ITERS} unrolled Lloyd iterations, deterministic init (the
+    first {K_KMEANS} vectors).
+
+    The iterative-algorithm pattern on Spark: each iteration is
+    assign (distance join + per-vector argmin window) → update (per-
+    cluster per-dimension means), composed as one declarative DAG — no
+    RDDs, no driver-side centroid state (MLlib collects centroids to the
+    driver per iteration; staying in-plan keeps the oracle expressible
+    and the shuffle structure visible). At scale each iteration is two
+    shuffles over |corpus|×K rows with K broadcast-sized; a production
+    run persists the assignment between iterations to cut lineage depth
+    — with {KMEANS_ITERS} unrolled iterations lineage is shallow enough
+    that recompute beats cache residency.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = el.filter(F.col("vec_id") < K_KMEANS).select(
+        F.col("vec_id").alias("cid"), "d", F.col("x").alias("cx")
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        dist = (
+            el.join(cent, "d")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                ).alias("dist")
+            )
+        )
+        w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        cent = (
+            el.join(assign, "vec_id")
+            .groupBy("cid", "d")
+            .agg((F.sum("x") / F.count("*")).alias("cx"))
+        )
+    n = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+    s = cent.groupBy("cid").agg(F.sum(F.col("cx") * F.col("cx")).alias("ss"))
+    return n.join(s, "cid").select(
+        F.col("cid").alias("cluster"),
+        "n_members",
+        pround(F.sqrt("ss"), 4).alias("c_norm"),
+    )
