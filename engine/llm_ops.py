@@ -479,3 +479,46 @@ def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(passes, 1)).alias("n_pass"),
         F.count(F.when(~passes, 1)).alias("n_fail"),
     )
+
+
+@query(
+    "llm_train_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CASE WHEN STRPOS('0123456789abcdef',
+                              SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1))
+                       - 1 < 13
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split by content-stable hash bucketing
+    (~81/19): first hex digit of md5(doc_id) < 13 → train.
+
+    The split a training pipeline needs is *stable* — the same document
+    lands in the same split on every run, on any engine, regardless of
+    partitioning or row order — which rules out rand()/TABLESAMPLE and
+    engine-native hash() (Spark and DuckDB hash differently). md5 of the
+    key is bit-identical everywhere; bucketing by its first hex digit
+    gives 16 stable strata to cut anywhere. Embarrassingly parallel: one
+    projection, no shuffle before the audit aggregate.
+    """
+    d = load(spark, sf_dir, "documents")
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    split = F.when(digit < 13, F.lit("train")).otherwise(F.lit("eval"))
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -989,3 +989,55 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return agg.orderBy("s_nationkey")
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "merge_upsert",
+    oracle=f"""
+    WITH updates AS (
+      SELECT o_orderkey,
+             o_totalprice * 1.1 AS new_price,
+             'P' AS new_status
+      FROM orders WHERE o_totalprice > {HIGH_VALUE}
+    ), merged AS (
+      SELECT COALESCE(u.o_orderkey, o.o_orderkey) AS o_orderkey,
+             COALESCE(u.new_price, o.o_totalprice) AS o_totalprice,
+             COALESCE(u.new_status, o.o_orderstatus) AS o_orderstatus,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS updated
+      FROM orders o FULL JOIN updates u ON o.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderstatus, updated,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM merged GROUP BY 1, 2
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style merge/upsert expressed as a full-outer join + coalesce
+    (the engine-agnostic MERGE INTO: matched rows take the update's
+    values, unmatched keep the base, insert-only updates would surface
+    as base-null rows).
+
+    A deterministic update batch (repriced high-value orders) merges
+    onto the orders base; the audit aggregate groups by post-merge
+    status × updated flag. At scale this is one co-partitioned shuffle
+    join on the merge key — the same plan a table format's MERGE
+    compiles to, minus its file-level pruning.
+    """
+    o = load(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_totalprice") > HIGH_VALUE).select(
+        F.col("o_orderkey").alias("u_orderkey"),
+        (F.col("o_totalprice") * 1.1).alias("new_price"),
+        F.lit("P").alias("new_status"),
+    )
+    merged = o.join(
+        updates, F.col("o_orderkey") == F.col("u_orderkey"), "full"
+    ).select(
+        F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+        F.coalesce("new_status", "o_orderstatus").alias("o_orderstatus"),
+        F.col("u_orderkey").isNotNull().cast("int").alias("updated"),
+    )
+    return merged.groupBy("o_orderstatus", "updated").agg(
+        F.count("*").alias("n_orders"),
+        pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
