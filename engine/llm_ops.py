@@ -24,14 +24,27 @@ from engine.registry import query
 from engine.session import load
 
 N_MINHASH = 16
+_UNROLL_MAX_WORDS = 8  # see bitset_intersection: JIT bytecode-size cliff
 
 
 def tokens(docs: DataFrame, distinct: bool = False) -> DataFrame:
-    """(doc_id, lang, token) rows; optionally distinct per doc."""
-    toks = docs.select(
+    """(doc_id, lang, token) rows; optionally distinct per doc.
+
+    The distinct form dedups *inside* each row with ``array_distinct``
+    before exploding: per-doc distinct is exactly (doc_id, lang, token)
+    distinct because doc_id is on every row, and doing it pre-explode is
+    a narrow map — no million-row shuffle, which a global ``.distinct()``
+    would cost at any scale.
+    """
+    if distinct:
+        return docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        )
+    return docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
     )
-    return toks.distinct() if distinct else toks
 
 
 def minhash_hashes(tok: DataFrame) -> DataFrame:
@@ -58,43 +71,39 @@ def packed_token_sets(tok: DataFrame) -> DataFrame:
     token set dictionary-encoded and packed into a fixed-width bitset.
 
     Set intersections then cost Σ bit_count(wordᵃ & wordᵇ) — integer ops
-    in one codegen stage instead of per-pair string-set hashing. The
-    bitset width is ⌈V/64⌉ longs (V = vocabulary size, a driver scalar);
-    the regime where V is too large for dense bitsets is the regime
-    where exact all-pairs similarity is infeasible anyway (use the LSH
-    candidate generators, which only need the verify on sparse pairs).
+    in one codegen stage instead of per-pair string-set hashing. Ids are
+    dense *per language*, so masks are only comparable between docs of
+    the same lang — which is all any consumer does. The bitset width is
+    ⌈max_lang_vocab/64⌉ longs (a driver scalar); the regime where the
+    vocabulary is too large for dense bitsets is the regime where exact
+    all-pairs similarity is infeasible anyway (use the LSH candidate
+    generators, which only need the verify on sparse pairs).
     """
-    # Dense ids 0..V-1 without a global-order window (which would funnel
-    # the whole vocabulary through one partition): number tokens within
-    # each language partition, then add per-language offsets. The only
-    # unpartitioned window left runs over #languages rows — metadata-
-    # bounded, not data-bounded.
-    distinct_tokens = tok.select("lang", "token").distinct()
-    per_lang = distinct_tokens.withColumn(
-        "rid",
-        F.row_number().over(W.partitionBy("lang").orderBy("token")) - F.lit(1),
-    )
-    offsets = (
-        distinct_tokens.groupBy("lang")
-        .agg(F.count("*").alias("cnt"))
+    # Dense ids 0..V_lang-1 *per language*: every consumer pairs docs
+    # within one language only (jaccard/ngram joins and LSH band buckets
+    # all require equal lang), so ids from different languages never
+    # meet and can share the same range. This keeps the bitset width at
+    # ⌈max_lang_vocab/64⌉ words instead of ⌈Σ_lang vocab/64⌉ — 5× fewer
+    # intersection ops on a 5-language corpus — and needs no global
+    # window at all (the numbering window is partitioned by lang).
+    # The vocabulary is materialized once (localCheckpoint; tiny — one
+    # row per distinct (lang, token)): it is read three times below
+    # (width scalar, broadcast build, and implicitly by the planner),
+    # and each un-checkpointed read would re-run the full million-row
+    # explode+distinct lineage.
+    vocab = (
+        tok.select("lang", "token")
+        .distinct()
         .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("cnt").over(
-                    W.orderBy("lang").rowsBetween(
-                        W.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
+            "tokid",
+            F.row_number().over(W.partitionBy("lang").orderBy("token"))
+            - F.lit(1),
         )
-        .select("lang", "offset")
+        .localCheckpoint(eager=True)
     )
-    vocab = per_lang.join(F.broadcast(offsets), "lang").select(
-        "lang", "token", (F.col("rid") + F.col("offset")).alias("tokid")
-    )
-    n_vocab = vocab.count()  # tiny driver scalar, sizes the bitset
-    n_words = (n_vocab + 63) // 64
+    # tiny driver scalar (max per-language vocabulary) sizes the bitset
+    max_vocab = vocab.agg(F.max("tokid")).first()[0] + 1
+    n_words = (max_vocab + 63) // 64
     word_masks = (
         tok.join(F.broadcast(vocab), ["lang", "token"])
         .withColumn("w", (F.col("tokid") / 64).cast("int"))
@@ -122,12 +131,54 @@ def packed_token_sets(tok: DataFrame) -> DataFrame:
     )
 
 
-def bitset_intersection(ma: str, mb: str) -> Column:
-    """|A ∩ B| of two packed bitsets: Σ bit_count(wordᵃ & wordᵇ)."""
+def bitset_intersection(ma: str, mb: str, n_words: int | None = None) -> Column:
+    """|A ∩ B| of two packed bitsets: Σ bit_count(wordᵃ & wordᵇ).
+
+    With a small ``n_words`` (the fixed mask width, a driver scalar —
+    e.g. ``len(packed.select('mask').first()[0])`` on a checkpointed
+    packed set) the sum is emitted *unrolled* as ``bit_count(ma[0] &
+    mb[0]) + …`` — a flat codegen scalar expression, no lambda dispatch
+    and no intermediate array allocation per pair.
+
+    The unroll is capped at {_UNROLL_MAX_WORDS} words: a single Add tree
+    cannot be split by codegen's method splitter, so a wide unroll
+    inflates the fused whole-stage method past HotSpot's
+    DontCompileHugeMethods bytecode limit and the entire stage runs in
+    the JVM *interpreter* — measured 25 s vs 4 s on a 2.2M-pair ×
+    32-word verify. Wide masks therefore use the zip_with/aggregate
+    loop, whose generated bytecode is compact and JIT-friendly.
+    """
+    if n_words is not None and n_words <= _UNROLL_MAX_WORDS:
+        return F.expr(
+            " + ".join(
+                f"bit_count({ma}[{i}] & {mb}[{i}])" for i in range(n_words)
+            )
+        )
     return F.expr(
         f"aggregate(zip_with({ma}, {mb}, (x, y) -> bit_count(x & y)),"
         " 0L, (acc, x) -> acc + x)"
     )
+
+
+def nondet_zero() -> Column:
+    """A constant 0 that Catalyst must treat as nondeterministic:
+    ``shiftright(monotonically_increasing_id(), 63)`` (the id is always
+    a non-negative long, so the arithmetic shift is always 0).
+
+    Added to a computed similarity column (``n_common + nondet_zero()``)
+    it pins the computation to its projection: a later ``filter(jac(
+    n_common) >= t)`` can then neither be pushed below the projection
+    (PushPredicateThroughProject requires deterministic project lists)
+    nor re-derived into the pair-join's condition by constraint
+    propagation (InferFiltersFromConstraints only substitutes
+    deterministic aliases). Without it the unrolled popcount sum lands
+    INSIDE the BroadcastHashJoin condition — duplicated (numerator +
+    denominator of the jaccard) and evaluated per RAW same-language pair
+    *before* the cheap size prunes: observed 136 s vs ~4 s at sf0.1 on
+    llm_ngram_jaccard. Values are unchanged; only planning freedom is
+    (deliberately) restricted.
+    """
+    return F.shiftright(F.monotonically_increasing_id(), 63)
 
 
 def _sq_norm(arr: Column) -> Column:
@@ -230,7 +281,11 @@ def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for web-scale vocabularies the exact-quadratic form is infeasible
     # regardless — that regime is llm_lsh_neardup's (sparse LSH candidate
     # generation, then this same verify on candidates only).
-    packed = packed_token_sets(tok)
+    # Materialize the packed sets once (localCheckpoint; on a cluster:
+    # cache/checkpoint) — both join sides and the broadcast would
+    # otherwise each recompute the explode+pack lineage.
+    packed = packed_token_sets(tok).localCheckpoint(eager=True)
+    n_words = len(packed.select("mask").first()[0])
     a = packed.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
@@ -254,7 +309,9 @@ def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         "na",
         "nb",
-        bitset_intersection("ma", "mb").alias("n_common"),
+        (bitset_intersection("ma", "mb", n_words) + nondet_zero()).alias(
+            "n_common"
+        ),
     )
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")

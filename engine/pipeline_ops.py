@@ -1,0 +1,562 @@
+"""Training-data pipeline operators beyond SURVEY.md §2.A–K: character
+n-gram near-dup, dedup clustering (connected components), deterministic
+stratified sampling, chunking, sequence packing, and audio-shaped
+multimodal features.
+
+These close the remaining items of the LLM-pipeline mandate
+(BASELINE.json:6): "n-gram Jaccard" dedup literally over character
+shingles (the token-set form lives in engine.llm_ops), near-dup *pairs*
+promoted to dedup *clusters* via distributed connected components (the
+step an actual corpus dedup needs before dropping rows), hash-stable
+stratified downsampling, RAG-style chunk splitting, GPT-style sequence
+packing, and framed audio energy extraction over opaque binary payloads.
+
+The reference repo (alehakad/FootballDataEngeneering @ 2025-03-28)
+contains no code (SURVEY.md §0: README.md:1-2 + LICENSE only), so there
+is nothing to cite for parity; these derive from the driver mandate.
+
+All operators are declarative DataFrame plans except the connected-
+components driver loop (bounded label-propagation rounds, each round a
+distributed join — the standard Spark pattern for iterative graph
+algorithms) and the audio feature extractor (Arrow-batched mapInPandas,
+numpy inside, per the multimodal design in engine.multimodal).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from engine.det import pround
+from engine.llm_ops import (
+    bitset_intersection,
+    nondet_zero,
+    packed_token_sets,
+    tokens,
+)
+from engine.registry import query
+from engine.session import load
+
+NGRAM = 5  # character shingle width
+NGRAM_THRESHOLD = 0.5  # char-shingle Jaccard near-dup cutoff
+CLUSTER_THRESHOLD = 0.8  # token-set Jaccard cutoff feeding clustering
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+PACK_WINDOW = 512  # context-window length for sequence packing
+AUDIO_FRAME = 32  # bytes per audio frame
+
+
+def char_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, token) rows of distinct character 5-gram shingles.
+
+    Shingles are generated JVM-side with `transform(sequence(...))` +
+    explode — no Python. The column is named `token` so the bitset
+    set-similarity machinery (engine.llm_ops.packed_token_sets) applies
+    unchanged; shingles cross token boundaries (they include spaces),
+    which is what makes char-n-gram Jaccard robust to small edits.
+    """
+    return d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {NGRAM - 1}),"
+                    f" i -> substring(text, i, {NGRAM}))"
+                )
+            )
+        ).alias("token"),
+    )
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, lang, SUBSTRING(text, i, {NGRAM}) AS shingle
+      FROM (SELECT doc_id, lang, text,
+                   UNNEST(GENERATE_SERIES(1, LENGTH(text) - {NGRAM - 1})) AS i
+            FROM documents)
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4)
+             AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+          >= {NGRAM_THRESHOLD}
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by character 5-gram Jaccard ≥ {NGRAM_THRESHOLD}
+    within a language — the literal "n-gram Jaccard" dedup of the
+    mandate (token-set form = engine.llm_ops.llm_jaccard_neardup).
+
+    Physical plan mirrors the bitset set-similarity join: shingles are
+    dictionary-encoded and packed into fixed-width bitsets, docs pair
+    under the size-ratio prune (J ≥ t ⟹ min/max set size ≥ t), and
+    |∩| = Σ bit_count(wᵃ & wᵇ) verifies in one codegen stage. Shingle
+    vocabulary is bounded by the corpus character diversity (~10k here,
+    158 bitset longs), far below the token-pair join blowup. At 100 TB
+    the same prune + LSH candidate generation applies — char shingles
+    feed MinHash exactly like tokens do.
+    """
+    d = load(spark, sf_dir, "documents")
+    # Materialize once: both join sides + the broadcast reuse it.
+    packed = packed_token_sets(char_shingles(d)).localCheckpoint(eager=True)
+    n_words = len(packed.select("mask").first()[0])
+    a = packed.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.col("mask").alias("ma"),
+        F.col("n_tok").alias("na"),
+    )
+    b = packed.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        F.col("mask").alias("mb"),
+        F.col("n_tok").alias("nb"),
+    )
+    t = NGRAM_THRESHOLD
+    pairs = a.join(
+        F.broadcast(b),
+        (a["lang"] == b["lang"])
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("na") * t <= F.col("nb"))
+        & (F.col("nb") * t <= F.col("na")),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "na",
+        "nb",
+        (bitset_intersection("ma", "mb", n_words) + nondet_zero()).alias(
+            "n_common"
+        ),
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return pairs.filter(jac >= t).select(
+        "doc_a", "doc_b", pround(jac, 4).alias("jaccard")
+    )
+
+
+def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected token-Jaccard ≥ {CLUSTER_THRESHOLD} near-dup edges
+    (u, v), both directions — the input graph for dedup clustering.
+    Same bitset verify as llm_jaccard_neardup."""
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(d, distinct=True)
+    packed = packed_token_sets(tok).localCheckpoint(eager=True)
+    n_words = len(packed.select("mask").first()[0])
+    a = packed.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.col("mask").alias("ma"),
+        F.col("n_tok").alias("na"),
+    )
+    b = packed.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        F.col("mask").alias("mb"),
+        F.col("n_tok").alias("nb"),
+    )
+    t = CLUSTER_THRESHOLD
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (a["lang"] == b["lang"])
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") * t <= F.col("nb"))
+            & (F.col("nb") * t <= F.col("na")),
+        )
+        .withColumn(
+            "n_common",
+            bitset_intersection("ma", "mb", n_words) + nondet_zero(),
+        )
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+            >= t
+        )
+        .select("doc_a", "doc_b")
+    )
+    return pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, lang, token FROM (
+        SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        FROM documents)
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common)
+            >= {CLUSTER_THRESHOLD}
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ), reach AS (
+      SELECT doc_id AS u, doc_id AS r FROM documents
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    )
+    SELECT u AS doc_id, MIN(r) AS cluster_id,
+           CAST(CASE WHEN MIN(r) = u THEN 1 ELSE 0 END AS INT) AS is_canonical
+    FROM reach GROUP BY u
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the near-dup graph
+    (token Jaccard ≥ {CLUSTER_THRESHOLD}); every document labeled with
+    its component's min doc_id, canonical survivor = the min itself.
+
+    Near-dup *pairs* aren't actionable for dedup until they're grouped —
+    A~B and B~C must drop to one survivor even when A~C fails the
+    threshold. This is the clustering step of every production corpus
+    dedup (MinHashLSH → components → keep one per component).
+
+    Distributed min-label propagation with path halving: each round
+    (1) takes the min label over each node's neighborhood, then
+    (2) short-circuits label chains via label = label(label) — a
+    self-join, the "pointer doubling" that makes convergence
+    O(log diameter) rounds instead of O(diameter). Each round is two
+    shuffles on doc_id; no driver state beyond the convergence counter;
+    lineage is truncated per round with localCheckpoint (on a cluster:
+    checkpoint to the checkpoint dir). The oracle is DuckDB's exact
+    transitive closure via recursive CTE, so the loop must (and does)
+    run to a true fixpoint, not a fixed round count.
+    """
+    d = load(spark, sf_dir, "documents")
+    edges = _neardup_edges(spark, sf_dir).localCheckpoint(eager=True)
+    labels = d.select(
+        F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(32):  # ≥ log2(n) rounds; fixpoint check breaks earlier
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("nl")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nl").alias("nl"))
+        )
+        halved = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            # path halving: label <- label(label)
+            .alias("cur")
+            .join(
+                labels.select(
+                    F.col("u").alias("pl"), F.col("label").alias("ll")
+                ).alias("par"),
+                F.col("cur.label") == F.col("par.pl"),
+                "left",
+            )
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("ll"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = halved.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.when(F.col("label") == F.col("u"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_canonical"),
+    )
+
+
+@query(
+    "llm_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, bucket
+    FROM (
+      SELECT doc_id, lang,
+             (INSTR('0123456789abcdef',
+                    SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + INSTR('0123456789abcdef',
+                     SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+               AS bucket
+      FROM documents)
+    WHERE bucket < CASE lang
+                     WHEN 'en' THEN 64
+                     WHEN 'fr' THEN 128
+                     WHEN 'es' THEN 128
+                     ELSE 192
+                   END
+    """,
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: per-language keep rates
+    (en 25%, fr/es 50%, zh/de 75% — rebalancing an English-heavy corpus)
+    applied by content-stable md5 bucketing of the key into 256 buckets.
+
+    Same portability rule as llm_train_test_split: rand()/TABLESAMPLE
+    and engine-native hash() are run- or engine-dependent; md5 is
+    bit-identical everywhere, so the sample is reproducible on any
+    engine and stable under re-partitioning — the property a training
+    pipeline needs so reruns don't churn the corpus. Embarrassingly
+    parallel: one projection + filter, no shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    hexpos = lambda i: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+    )
+    bucket = hexpos(1) * 16 + hexpos(2)
+    rate = (
+        F.when(F.col("lang") == "en", 64)
+        .when(F.col("lang").isin("fr", "es"), 128)
+        .otherwise(192)
+    )
+    return d.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("r")).filter(
+        F.col("bucket") < F.col("r")
+    ).drop("r")
+
+
+@query(
+    "llm_chunk_split",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             UNNEST(GENERATE_SERIES(0, LEN(toks) - 1, {CHUNK_STRIDE}))
+               AS start
+      FROM t)
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(LEAST({CHUNK_SIZE}, LEN(toks) - start) AS INT) AS chunk_len,
+           MD5(ARRAY_TO_STRING(
+             toks[start + 1 : start + LEAST({CHUNK_SIZE}, LEN(toks) - start)],
+             ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def llm_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({CHUNK_SIZE}-token chunks every
+    {CHUNK_STRIDE} tokens, 8-token overlap) — the RAG/embedding-prep
+    split that turns documents into model-sized pieces.
+
+    Row-expanding but fully declarative: `sequence` generates chunk
+    starts, `slice` + `concat_ws` + `md5` fingerprint each chunk
+    JVM-side. One narrow stage, no shuffle, no Python — at 100 TB this
+    is a map-only pass whose output partitioning inherits the input's.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")
+        ).alias("start"),
+    )
+    chunk_len = F.least(
+        F.lit(CHUNK_SIZE), F.size("toks") - F.col("start")
+    ).cast("int")
+    return c.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        chunk_len.alias("chunk_len"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("start") + 1, chunk_len)
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+@query(
+    "llm_seq_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT lang, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM t)
+    SELECT lang,
+           CAST(cum_prev // {PACK_WINDOW} AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE) / {PACK_WINDOW}, 4) AS fill
+    FROM c GROUP BY 1, 2
+    """,
+)
+def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing audit: documents are concatenated in
+    stable (lang, doc_id) order into {PACK_WINDOW}-token context windows;
+    each doc is assigned to the window its first token lands in, and the
+    output reports docs/tokens/fill per window.
+
+    The packing decision is a running sum over a partitioned window —
+    one shuffle on lang, then linear scans; fill > 1 marks windows whose
+    last doc straddles the boundary (concatenation-style packing, the
+    standard pretraining layout). At 100 TB the lang partitions are
+    further keyed by a shard column so no single partition serializes a
+    whole language's running sum.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.select(
+        "lang",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_prev"),
+    )
+    return (
+        c.groupBy(
+            "lang",
+            (F.col("cum_prev") / PACK_WINDOW).cast("bigint").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            pround(F.sum("n_tok") / F.lit(PACK_WINDOW), 4).alias("fill"),
+        )
+    )
+
+
+@query(
+    "mm_audio_features",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, CAST((i - 1) // {AUDIO_FRAME} AS INT) AS frame,
+             ORD(SUBSTRING(text, i, 1)) AS v
+      FROM (SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, LENGTH(text))) AS i
+            FROM documents)
+    ), fr AS (
+      SELECT doc_id, frame, SUM(v * v) AS e FROM ch GROUP BY 1, 2
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(MAX(f.e) AS BIGINT) AS peak_energy,
+           CAST(SUM(f.e) AS BIGINT) AS total_energy,
+           ROUND(SQRT(CAST(SUM(f.e) AS DOUBLE) / LENGTH(d.text)), 4) AS rms
+    FROM fr f JOIN documents d ON f.doc_id = d.doc_id
+    GROUP BY f.doc_id, LENGTH(d.text)
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped payload features: treat the binary payload as a PCM
+    sample stream, frame it at {AUDIO_FRAME} bytes, and emit per-doc
+    frame count, peak/total frame energy, and RMS amplitude.
+
+    The *decode* step (real codecs: wav/mp3/flac) is stubbed exactly
+    like image decode (engine.multimodal.decode_image — no codec libs in
+    this container); payloads are synthesized utf-8 bytes, so the framed
+    energy math is oracle-checkable in SQL. The Spark-side plumbing is
+    the real thing: Arrow-batched mapInPandas, numpy `reduceat` for the
+    per-frame aggregation (vectorized over the whole batch), typed flat
+    output schema. Partial trailing frames count, matching the oracle's
+    integer frame grouping.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_frames": [],
+                "peak_energy": [],
+                "total_energy": [],
+                "rms": [],
+            }
+            for b in pdf["payload"]:
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                sq = a * a
+                idx = np.arange(0, a.size, AUDIO_FRAME)
+                frames = np.add.reduceat(sq, idx)
+                total = int(sq.sum())
+                rms = np.floor(
+                    np.sqrt(total / a.size) * 10_000 + 0.5
+                ) / 10_000
+                out["n_frames"].append(len(frames))
+                out["peak_energy"].append(int(frames.max()))
+                out["total_energy"].append(total)
+                out["rms"].append(rms)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "peak_energy": pd.Series(
+                        out["peak_energy"], dtype="int64"
+                    ),
+                    "total_energy": pd.Series(
+                        out["total_energy"], dtype="int64"
+                    ),
+                    "rms": pd.Series(out["rms"], dtype="float64"),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents")
+    mm = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return mm.mapInPandas(
+        feats,
+        schema=(
+            "doc_id long, n_frames int, peak_energy long,"
+            " total_energy long, rms double"
+        ),
+    )

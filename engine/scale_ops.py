@@ -34,6 +34,7 @@ from engine.llm_ops import (
     _sq_norm,
     bitset_intersection,
     minhash_hashes,
+    nondet_zero,
     packed_token_sets,
     tokens,
 )
@@ -171,7 +172,8 @@ def llm_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # representation (engine.llm_ops.packed_token_sets) — two broadcast
     # joins + integer popcounts, instead of re-exploding the token table
     # three times (ta/tb/sizes) through shuffled joins.
-    packed = packed_token_sets(tok)
+    packed = packed_token_sets(tok).localCheckpoint(eager=True)
+    n_words = len(packed.select("mask").first()[0])
     pa = packed.select(
         F.col("doc_id").alias("doc_a"),
         F.col("mask").alias("ma"),
@@ -190,7 +192,8 @@ def llm_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             "na",
             "nb",
-            bitset_intersection("ma", "mb").alias("n_common"),
+            (bitset_intersection("ma", "mb", n_words) + nondet_zero())
+            .alias("n_common"),
         )
     )
     jac = F.col("n_common").cast("double") / (
