@@ -44,7 +44,11 @@ from engine.registry import query
 from engine.session import load
 
 NGRAM = 5  # character shingle width
-NGRAM_THRESHOLD = 0.5  # char-shingle Jaccard near-dup cutoff
+# Char-shingle Jaccard near-dup cutoff. 0.7 is the conventional
+# char-n-gram near-dup threshold; it also tightens the size-ratio prune
+# (J ≥ t ⟹ min/max set size ≥ t), roughly halving the candidate pairs
+# the bitset verify must scan versus a 0.5 cutoff.
+NGRAM_THRESHOLD = 0.7
 CLUSTER_THRESHOLD = 0.8  # token-set Jaccard cutoff feeding clustering
 CHUNK_SIZE = 32  # tokens per chunk
 CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
@@ -117,7 +121,9 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     # Materialize once: both join sides + the broadcast reuse it.
-    packed = packed_token_sets(char_shingles(d)).localCheckpoint(eager=True)
+    packed = packed_token_sets(
+        char_shingles(d), materialize_input=True
+    ).localCheckpoint(eager=True)
     n_words = len(packed.select("mask").first()[0])
     a = packed.select(
         F.col("doc_id").alias("doc_a"),
@@ -202,67 +208,25 @@ def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE tok AS (
-      SELECT DISTINCT doc_id, lang, token FROM (
-        SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
-        FROM documents)
-    ), sz AS (
-      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM tok a JOIN tok b
-        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), pairs AS (
-      SELECT doc_a, doc_b
-      FROM inter
-      JOIN sz sa ON doc_a = sa.doc_id
-      JOIN sz sb ON doc_b = sb.doc_id
-      WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common)
-            >= {CLUSTER_THRESHOLD}
-    ), edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM pairs
-      UNION ALL
-      SELECT doc_b AS u, doc_a AS v FROM pairs
-    ), reach AS (
-      SELECT doc_id AS u, doc_id AS r FROM documents
-      UNION
-      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
-    )
-    SELECT u AS doc_id, MIN(r) AS cluster_id,
-           CAST(CASE WHEN MIN(r) = u THEN 1 ELSE 0 END AS INT) AS is_canonical
-    FROM reach GROUP BY u
-    """,
-)
-def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup clustering: connected components over the near-dup graph
-    (token Jaccard ≥ {CLUSTER_THRESHOLD}); every document labeled with
-    its component's min doc_id, canonical survivor = the min itself.
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distributed connected components: ``nodes`` (col ``u``) and
+    undirected ``edges`` (cols ``u``, ``v``, both directions present) →
+    (u, label) with label = min node id reachable from u.
 
-    Near-dup *pairs* aren't actionable for dedup until they're grouped —
-    A~B and B~C must drop to one survivor even when A~C fails the
-    threshold. This is the clustering step of every production corpus
-    dedup (MinHashLSH → components → keep one per component).
-
-    Distributed min-label propagation with path halving: each round
-    (1) takes the min label over each node's neighborhood, then
-    (2) short-circuits label chains via label = label(label) — a
-    self-join, the "pointer doubling" that makes convergence
-    O(log diameter) rounds instead of O(diameter). Each round is two
-    shuffles on doc_id; no driver state beyond the convergence counter;
-    lineage is truncated per round with localCheckpoint (on a cluster:
-    checkpoint to the checkpoint dir). The oracle is DuckDB's exact
-    transitive closure via recursive CTE, so the loop must (and does)
-    run to a true fixpoint, not a fixed round count.
+    Min-label propagation with path halving: each round (1) takes the
+    min label over each node's neighborhood, then (2) short-circuits
+    label chains via label ← label(label) — the "pointer doubling" that
+    makes convergence O(log diameter) rounds instead of O(diameter).
+    Each round is two shuffles on the node id; no driver state beyond
+    the convergence counter; lineage is truncated per round with
+    localCheckpoint (on a cluster: checkpoint to the checkpoint dir).
+    Runs to a true fixpoint (break on zero changed labels), not a fixed
+    round count.
     """
-    d = load(spark, sf_dir, "documents")
-    edges = _neardup_edges(spark, sf_dir).localCheckpoint(eager=True)
-    labels = d.select(
-        F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
+    labels = nodes.select(
+        "u", F.col("u").alias("label")
     ).localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
     for _ in range(32):  # ≥ log2(n) rounds; fixpoint check breaks earlier
         neighbor_min = (
             edges.join(
@@ -308,6 +272,63 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, lang, token FROM (
+        SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        FROM documents)
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common)
+            >= {CLUSTER_THRESHOLD}
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ), reach AS (
+      SELECT doc_id AS u, doc_id AS r FROM documents
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    )
+    SELECT u AS doc_id, MIN(r) AS cluster_id,
+           CAST(CASE WHEN MIN(r) = u THEN 1 ELSE 0 END AS INT) AS is_canonical
+    FROM reach GROUP BY u
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the near-dup graph
+    (token Jaccard ≥ {CLUSTER_THRESHOLD}); every document labeled with
+    its component's min doc_id, canonical survivor = the min itself.
+
+    Near-dup *pairs* aren't actionable for dedup until they're grouped —
+    A~B and B~C must drop to one survivor even when A~C fails the
+    threshold. This is the clustering step of every production corpus
+    dedup (MinHashLSH → components → keep one per component).
+
+    The component search is :func:`connected_components` (min-label
+    propagation + path halving — see its docstring for the distributed
+    round structure). The oracle is DuckDB's exact transitive closure
+    via recursive CTE, so the loop must (and does) run to a true
+    fixpoint, not a fixed round count.
+    """
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("u"))
+    labels = connected_components(nodes, _neardup_edges(spark, sf_dir))
     return labels.select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_id"),

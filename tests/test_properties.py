@@ -143,3 +143,45 @@ def test_lsh_pairs_subset_of_exact_jaccard(spark):
         for r in engine.QUERIES["llm_jaccard_neardup"](spark, sf).collect()
     }
     assert lsh <= exact
+
+
+@given(
+    edge_list=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=15
+    ),
+    n_nodes=st.integers(1, 10),
+)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edge_list, n_nodes):
+    """Distributed CC (min-label propagation + path halving) == a plain
+    union-find, on arbitrary small graphs incl. self-loops, duplicate
+    edges, chains (worst case for propagation depth), and isolated
+    nodes."""
+    from engine.pipeline_ops import connected_components
+
+    edge_list = [(u, v) for u, v in edge_list if u < n_nodes and v < n_nodes]
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edge_list:
+        parent[find(u)] = find(v)
+    expected = {}
+    for comp in range(n_nodes):
+        expected.setdefault(find(comp), []).append(comp)
+    want = {u: min(members) for members in expected.values() for u in members}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "u long")
+    sym = [(u, v) for u, v in edge_list] + [(v, u) for u, v in edge_list]
+    if sym:
+        edges = spark.createDataFrame(sym, "u long, v long")
+    else:
+        edges = spark.createDataFrame([], "u long, v long")
+    got = {
+        r.u: r.label for r in connected_components(nodes, edges).collect()
+    }
+    assert got == want
