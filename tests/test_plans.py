@@ -182,7 +182,10 @@ def test_no_scale_red_flags_any_query(spark):
     # constant-bounded: a 1-row corpus-count, a ≤10-row probe set, a
     # 25×5 grid, or the K_IVF centroid set.
     bnlj_ok = {"join_cross", "llm_cosine_topk", "llm_tfidf_topterms",
-               "llm_ann_ivf", "llm_quality_filter"}
+               "llm_ann_ivf", "llm_quality_filter",
+               # composes llm_cosine_topk, inheriting its probe-bounded
+               # (≤10-row broadcast) cross join
+               "llm_ann_recall"}
     # An unpartitioned window is acceptable only over metadata-bounded
     # input: the per-language offset table (#languages rows) of the
     # bitset dictionary, and single-row final aggregates.
