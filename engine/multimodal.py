@@ -200,3 +200,80 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.count("*").alias("n_copies"),
     )
+
+
+RESIZE_OUT = 4  # output grid: 4×4
+
+
+@query(
+    "mm_image_resize",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             ORD(SUBSTRING(text,
+               CAST((((p // {RESIZE_OUT}) * (n_chars % 12 + 8) // {RESIZE_OUT})
+                      * (n_chars % 16 + 8)
+                    + ((p % {RESIZE_OUT}) * (n_chars % 16 + 8) // {RESIZE_OUT})
+                    ) % n_chars + 1 AS BIGINT),
+               1)) AS v
+      FROM (SELECT doc_id, text, n_chars,
+                   UNNEST(GENERATE_SERIES(0, {RESIZE_OUT * RESIZE_OUT - 1}))
+                     AS p
+            FROM documents)
+    )
+    SELECT doc_id,
+           CAST({RESIZE_OUT} AS INT) AS out_w,
+           CAST({RESIZE_OUT} AS INT) AS out_h,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM(v * v) AS BIGINT) AS pixel_sq_sum
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize over binary payloads: the payload is
+    interpreted as a W×H byte image (W = n%16+8, H = n%12+8 from the
+    metadata, wrap-around indexed so any payload length works), resampled
+    to a {RESIZE_OUT}×{RESIZE_OUT} thumbnail, and summarized by exact
+    integer pixel sums.
+
+    Completes the decode / feature-extract / resize / frame-sample
+    multimodal quartet. Decode is stubbed (see decode_image); the
+    resample itself is the real thing — vectorized numpy gather per
+    Arrow batch inside mapInPandas, N rows in → N rows out, no Python
+    per-pixel loops (the index grid is computed once per row as a numpy
+    expression). At 100 TB this is the thumbnail/feature-downsample pass
+    that runs after payload dedup and before feature extraction.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        o = RESIZE_OUT
+        p = np.arange(o * o)
+        j, i = p // o, p % o
+        for pdf in batches:
+            sums, sqsums = [], []
+            for b in pdf["payload"]:
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                n = a.size
+                w, h = n % 16 + 8, n % 12 + 8
+                idx = ((j * h // o) * w + (i * w // o)) % n
+                pix = a[idx]
+                sums.append(int(pix.sum()))
+                sqsums.append(int((pix * pix).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": pd.Series([o] * len(pdf), dtype="int32"),
+                    "out_h": pd.Series([o] * len(pdf), dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "pixel_sq_sum": pd.Series(sqsums, dtype="int64"),
+                }
+            )
+
+    mm = multimodal_table(spark, sf_dir)
+    return mm.select("doc_id", "payload").mapInPandas(
+        resize,
+        schema=(
+            "doc_id long, out_w int, out_h int,"
+            " pixel_sum long, pixel_sq_sum long"
+        ),
+    )
