@@ -24,6 +24,7 @@ from engine import scale_ops as scale_ops  # noqa: F401
 from engine import udx as udx  # noqa: F401
 from engine import pipeline_ops as pipeline_ops  # noqa: F401
 from engine import analytics_ops as analytics_ops  # noqa: F401
+from engine import composite as composite  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES
