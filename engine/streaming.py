@@ -85,26 +85,6 @@ def tumbling_agg(ev: DataFrame) -> DataFrame:
 
 
 @query(
-    "stream_tumbling",
-    oracle="""
-    SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS window_start,
-           event_type,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1 h tumbling windows (SURVEY.md §2.I stream_tumbling).
-
-    Spark's ``window()`` aligns to the epoch, as does DuckDB's
-    ``time_bucket`` — window starts agree exactly.
-    """
-    return tumbling_agg(load(spark, sf_dir, "events"))
-
-
-@query(
     "stream_sliding",
     oracle="""
     SELECT ws AS window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
@@ -414,3 +394,27 @@ def stream_stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("cts") < F.col("pts"))
         & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES")),
     )
+
+
+# Registered last in this module (and the module itself imports after the
+# other streaming-family registrations in engine/__init__.py): this query
+# was driver-validated green in round 1, so it yields its early slot in the
+# capped correctness sweep to the yet-unchecked queries.
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 h tumbling windows (SURVEY.md §2.I stream_tumbling).
+
+    Spark's ``window()`` aligns to the epoch, as does DuckDB's
+    ``time_bucket`` — window starts agree exactly.
+    """
+    return tumbling_agg(load(spark, sf_dir, "events"))
