@@ -87,12 +87,34 @@ def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _roundtrip_verified(written: DataFrame, back: DataFrame) -> DataFrame:
+    """Materialize the read-back rows and assert they equal what was
+    written (symmetric exceptAll — order-insensitive multiset equality).
+
+    Round 1 forced the read with count() but returned the PRE-write
+    aggregate, so a schema-coercion or parse regression in the read path
+    could never fail the check (ADVICE r1). Returning the materialized
+    read-back (and failing loudly on any diff) makes the roundtrip the
+    thing actually under test. Both sides are tiny aggregates, so the
+    comparison is a few rows."""
+    back = back.sparkSession.createDataFrame(back.collect(), schema=back.schema)
+    missing = written.exceptAll(back).count()
+    extra = back.exceptAll(written).count()
+    if missing or extra:
+        raise AssertionError(
+            f"roundtrip mismatch: {missing} written rows lost,"
+            f" {extra} rows differ after read-back"
+        )
+    return back
+
+
 @query("source_csv_roundtrip")
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV write→read roundtrip (SURVEY.md §2.A, no-oracle: side-effecting).
 
     Writes a small aggregate to CSV with header, reads it back with an
-    explicit schema (never inference in production paths), returns it.
+    explicit schema (never inference in production paths), asserts the
+    read-back equals the written rows, and returns the read-back.
     """
     out = _SCRATCH / f"csv_{uuid.uuid4().hex}"
     agg = (
@@ -108,16 +130,15 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = spark.read.option("header", True).csv(
             str(out), schema="o_orderpriority string, n_orders bigint, sum_price double"
         )
-        result = back.orderBy("o_orderpriority")
-        result.count()  # force read before scratch cleanup
-        return agg.orderBy("o_orderpriority")
+        return _roundtrip_verified(agg, back).orderBy("o_orderpriority")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
 
 @query("source_json_roundtrip")
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines write→read roundtrip (SURVEY.md §2.A, no-oracle)."""
+    """JSON-lines write→read roundtrip (SURVEY.md §2.A, no-oracle);
+    read-back content-asserted against the written rows."""
     out = _SCRATCH / f"json_{uuid.uuid4().hex}"
     agg = (
         load(spark, sf_dir, "customer")
@@ -132,8 +153,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = spark.read.json(
             str(out), schema="c_mktsegment string, n_customers bigint, avg_bal double"
         )
-        back.count()
-        return agg.orderBy("c_mktsegment")
+        return _roundtrip_verified(agg, back).orderBy("c_mktsegment")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -985,8 +1005,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         agg.write.mode("overwrite").orc(str(out))
         back = spark.read.orc(str(out))
-        back.count()  # force read before scratch cleanup
-        return agg.orderBy("s_nationkey")
+        return _roundtrip_verified(agg, back).orderBy("s_nationkey")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

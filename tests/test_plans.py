@@ -187,9 +187,11 @@ def test_no_scale_red_flags_any_query(spark):
                # (≤10-row broadcast) cross join
                "llm_ann_recall"}
     # An unpartitioned window is acceptable only over metadata-bounded
-    # input: the per-language offset table (#languages rows) of the
-    # bitset dictionary, and single-row final aggregates.
-    global_window_ok = {"llm_jaccard_neardup", "llm_lsh_neardup"}
+    # input. Currently empty: round 1's entries (llm_jaccard_neardup,
+    # llm_lsh_neardup) no longer plan any Window at all, and keeping
+    # them whitelisted would exempt exactly the queries the check was
+    # written for (ADVICE r1).
+    global_window_ok: set[str] = set()
     for qid in sorted(engine.QUERIES):
         if qid in side_effecting:
             continue
