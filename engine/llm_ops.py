@@ -48,19 +48,32 @@ def tokens(docs: DataFrame, distinct: bool = False) -> DataFrame:
 
 
 def minhash_hashes(tok: DataFrame) -> DataFrame:
-    """Per-distinct-token MinHash permutation hashes (p00..p15).
+    """Per-distinct-token MinHash permutation hashes (p00..p15), as longs.
 
-    perm_i(token) = md5(token ‖ '#' ‖ i) depends only on the token, so
-    it is computed once over the vocabulary (distinct tokens ≪ token
-    occurrences in any real corpus) and joined back to occurrence rows —
-    not recomputed per row. The vocabulary side is broadcast; a
-    vocabulary too large to broadcast can shuffle-join instead and the
-    precompute still wins by the occurrence/vocabulary ratio.
+    perm_i(token) = first 60 bits of md5(token ‖ '#' ‖ i), so it depends
+    only on the token and is computed once over the vocabulary (distinct
+    tokens ≪ token occurrences in any real corpus) and joined back to
+    occurrence rows — not recomputed per row. The 15-hex-digit prefix
+    fits a signed 64-bit value on both engines (Spark ``conv``, DuckDB
+    ``('0x'‖…)::BIGINT``); the per-doc MIN aggregate then compares longs
+    instead of 32-char hex strings, which is the hot loop of the
+    signature build (~35% of LSH near-dup wall at sf0.1). The vocabulary
+    side is broadcast; a vocabulary too large to broadcast can
+    shuffle-join instead and the precompute still wins by the
+    occurrence/vocabulary ratio.
     """
     return tok.select("token").distinct().select(
         "token",
         *[
-            F.md5(F.concat(F.col("token"), F.lit(f"#{i}"))).alias(f"p{i:02d}")
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("token"), F.lit(f"#{i}"))), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(f"p{i:02d}")
             for i in range(N_MINHASH)
         ],
     )
@@ -336,7 +349,9 @@ def llm_minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.J llm_minhash_sketch, no-oracle: rows-only check).
 
     Portable, deterministic permutation definition: perm_i(token) =
-    md5(token ‖ '#' ‖ i); the signature component is the per-doc minimum.
+    60-bit md5(token ‖ '#' ‖ i) prefix as a long (see
+    :func:`minhash_hashes`); the signature component is the per-doc
+    minimum.
     One explode + one grouped aggregate — linear, shuffle-based, the
     sketch that feeds LSH banding at scale (engine.scale_ops).
     """

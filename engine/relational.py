@@ -89,7 +89,9 @@ def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _roundtrip_verified(written: DataFrame, back: DataFrame) -> DataFrame:
     """Materialize the read-back rows and assert they equal what was
-    written (symmetric exceptAll — order-insensitive multiset equality).
+    written (order-insensitive multiset equality, compared driver-side —
+    both sides are tiny aggregates, so two collects beat the four
+    shuffle jobs a symmetric exceptAll would launch).
 
     Round 1 forced the read with count() but returned the PRE-write
     aggregate, so a schema-coercion or parse regression in the read path
@@ -97,15 +99,15 @@ def _roundtrip_verified(written: DataFrame, back: DataFrame) -> DataFrame:
     read-back (and failing loudly on any diff) makes the roundtrip the
     thing actually under test. Both sides are tiny aggregates, so the
     comparison is a few rows."""
-    back = back.sparkSession.createDataFrame(back.collect(), schema=back.schema)
-    missing = written.exceptAll(back).count()
-    extra = back.exceptAll(written).count()
-    if missing or extra:
+    back_rows = back.collect()
+    w = sorted((tuple(r) for r in written.collect()), key=repr)
+    b = sorted((tuple(r) for r in back_rows), key=repr)
+    if w != b:
         raise AssertionError(
-            f"roundtrip mismatch: {missing} written rows lost,"
-            f" {extra} rows differ after read-back"
+            f"roundtrip mismatch: wrote {len(w)} rows, read back {len(b)};"
+            f" first diff: {next((x for x in zip(w, b) if x[0] != x[1]), None)}"
         )
-    return back
+    return back.sparkSession.createDataFrame(back_rows, schema=back.schema)
 
 
 @query("source_csv_roundtrip")

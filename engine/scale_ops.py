@@ -72,7 +72,9 @@ def lsh_oracle(tok_sql: str = _TOK_SQL, threshold: float = 0.8) -> str:
     """DuckDB mirror of :func:`lsh_neardup_pairs` over any (doc_id, lang,
     token) CTE — the token form and the char-shingle form share it."""
     mins = ",\n             ".join(
-        f"MIN(MD5(token || '#{i}')) AS h{i:02d}" for i in range(N_MINHASH)
+        f"MIN(('0x' || SUBSTRING(MD5(token || '#{i}'), 1, 15))::BIGINT)"
+        f" AS h{i:02d}"
+        for i in range(N_MINHASH)
     )
     per_band = N_MINHASH // N_BANDS
     band_selects = "\n      UNION ALL\n".join(
