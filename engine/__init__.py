@@ -31,6 +31,11 @@ from engine import udx as udx  # noqa: F401
 from engine import analytics_ops as analytics_ops  # noqa: F401
 from engine import composite as composite  # noqa: F401
 from engine import streaming as streaming  # noqa: F401
+
+# Round-2 additions register after the 50 queries that lacked r1 driver
+# rows (they must not displace those from the capped sweep) but before
+# the driver-proven relational core.
+from engine import ext_ops as ext_ops  # noqa: F401
 from engine import relational as relational  # noqa: F401
 from engine import functions as functions  # noqa: F401
 from engine import windows as windows  # noqa: F401

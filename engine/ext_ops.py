@@ -1,0 +1,502 @@
+"""Round-2 operator additions: SQL-surface subqueries, sessionization,
+exact-percentile and histogram aggregates, a TPC-H Q18 analog, and two
+LLM-pipeline compositions (eval-set decontamination, end-to-end dedup →
+quality → split funnel).
+
+The reference repo declares a batch-analytics ETL intent with no code
+(SURVEY.md §0 — README.md:1-2 + LICENSE are its complete contents), so
+these extend SURVEY.md §2.L along the two axes the mandate grades:
+classic OLAP composition (subqueries, sessionization, heavy-hitter
+joins) and LLM-training-corpus hygiene (decontamination is the
+train/eval-leakage check every corpus build runs).
+
+SQL-surface queries (``sql_*``) run the *same SQL text* through both
+engines — ``spark.sql`` over temp views here, DuckDB in the oracle —
+with only the portable-rounding rewrite applied to each side, proving
+the SQL entry point (SURVEY.md §3.3) end-to-end: Catalyst decorrelates
+EXISTS / scalar subqueries into semi / left-outer joins rather than
+re-executing per row.
+
+Scale notes (100 TB): every operator here is join + aggregate + window
+shaped — no driver-side data, no Python row path. Sessionization
+shuffles once on user_id and computes both windows on that one
+partitioning; decontamination's eval shingle set is the small side by
+construction (the eval split is a fixed hash fraction) and broadcasts;
+Q18's heavy-hitter filter is aggregate-pushdown-shaped (the HAVING
+prunes before the dimension joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from engine.det import portable_round_sql, pround
+from engine.registry import query
+from engine.session import load
+
+SESSION_GAP_SECS = 28_800  # 8 h: ~half the fixture inter-event gaps
+Q18_QTY_THRESHOLD = 250.0  # ≈ top 1.5% of orders by total quantity
+QUALITY_MIN_CHARS = 100
+QUALITY_MIN_TOKENS = 20
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface entry point: identical SQL text on both engines.
+# ---------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c.c_acctbal), 2) AS avg_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F')
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("sql_exists_subquery", oracle=_EXISTS_SQL)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS via the SQL entry point: segments
+    of customers with ≥1 urgent order and no completed ('F') order.
+
+    The same SQL string runs on both engines. Catalyst decorrelates the
+    two subqueries into a left-semi and a left-anti join on c_custkey —
+    no per-row re-execution — so at scale this is two hash joins against
+    a pre-filtered orders projection, each pushdown-pruned to the two
+    columns the subquery touches.
+    """
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(portable_round_sql(_EXISTS_SQL))
+
+
+_SCALAR_SQL = """
+    SELECT o.o_orderkey, o.o_custkey,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND((SELECT AVG(o2.o_totalprice) FROM orders o2
+                  WHERE o2.o_custkey = o.o_custkey), 2) AS cust_avg
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@query("sql_scalar_subquery", oracle=_SCALAR_SQL)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery via the SQL entry point: orders priced
+    >1.5× their customer's average order value.
+
+    Catalyst rewrites the correlated aggregate into one per-customer
+    aggregation joined back to orders (the subquery body is evaluated
+    once, not per outer row), so the plan is aggregate + self-join on
+    o_custkey — a single reusable shuffle partitioning at scale.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(portable_round_sql(_SCALAR_SQL))
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch gap-based; the streaming session window is
+# stream_session in engine.streaming).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_sessionize",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch(ts) - LAG(epoch(ts)) OVER w > {SESSION_GAP_SECS}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_type, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS BIGINT)
+               AS session_idx
+      FROM g
+    )
+    SELECT user_id, session_idx,
+           COUNT(*) AS n_events,
+           CAST(FLOOR(epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT)
+             AS session_secs,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM s GROUP BY 1, 2
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is
+    idle > SESSION_GAP_SECS (8 h); per-session event count, duration,
+    purchases.
+
+    The lag/is-new/running-sum idiom — the canonical batch sessionizer.
+    One shuffle on user_id serves both window passes AND the final
+    grouped aggregate (all three are user_id-partitioned, so Catalyst
+    plans a single Exchange). Ordering ties are impossible: event_id is
+    unique within a user. At 100 TB this is the shape you want —
+    per-user state never materializes outside its partition.
+    """
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Fractional epoch seconds (µs-precision timestamps): unix_timestamp
+    # truncates each side before subtracting and disagrees with the
+    # oracle's epoch() by ±1 s — same pitfall as events_funnel.
+    secs = F.col("ts").cast("double")
+    is_new = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((secs - F.lag(secs).over(w)) > SESSION_GAP_SECS),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new")
+    )
+    return (
+        e.select("user_id", "event_id", "ts", "event_type", is_new)
+        .withColumn("session_idx", F.sum("is_new").over(w))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.floor(F.max(secs) - F.min(secs)).cast("bigint").alias("session_secs"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregates: exact percentiles, fixed-bin histogram.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.90), 4) AS p90,
+           ROUND(QUANTILE_CONT(l_quantity, 0.50), 4) AS med_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linearly-interpolated percentiles per return flag.
+
+    Spark's ``percentile`` and DuckDB's ``QUANTILE_CONT`` share the
+    same definition (sort, index = q·(n−1), linear interpolation
+    between neighbors) and agree bit-for-bit on the fixtures — verified
+    before rounding was added. Exact percentiles need the full sorted
+    group (one shuffle); at 100 TB the scale path is
+    ``approx_percentile`` (t-digest, mergeable map-side) — registered
+    as agg_approx_distinct's family — while this operator is the exact
+    witness.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        pround(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        pround(F.percentile("l_extendedprice", 0.50), 4).alias("p50"),
+        pround(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+        pround(F.percentile("l_extendedprice", 0.90), 4).alias("p90"),
+        pround(F.percentile("l_quantity", 0.50), 4).alias("med_qty"),
+    )
+
+
+N_HIST_BINS = 10
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    WITH r AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / {N_HIST_BINS})),
+                      {N_HIST_BINS - 1}) AS INT) AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders, r
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of order totals over the observed [min, max]
+    range: N_HIST_BINS equal-width buckets, per-bucket count and price
+    stats.
+
+    Two-phase: a 1-row global min/max aggregate broadcast-cross-joined
+    into the bucketing projection (same 1-row-broadcast shape as
+    llm_tfidf_topterms), then one grouped aggregate on the bucket id.
+    The bucket expression is pure IEEE-754 arithmetic (subtract, divide,
+    floor) so both engines bin identically; the top edge folds into the
+    last bucket. At scale: one pass for min/max, one shuffle on ≤10
+    keys.
+    """
+    o = load(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / N_HIST_BINS
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        F.lit(N_HIST_BINS - 1),
+    ).cast("int")
+    return (
+        o.crossJoin(F.broadcast(rng))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            pround(F.min("o_totalprice"), 2).alias("min_price"),
+            pround(F.max("o_totalprice"), 2).alias("max_price"),
+            pround(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 analog: heavy-hitter orders.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_large_volume",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > {Q18_QTY_THRESHOLD}
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog (large-volume customer): top-100 orders whose
+    total lineitem quantity exceeds Q18_QTY_THRESHOLD, with customer
+    name.
+
+    The HAVING aggregate runs FIRST and is selective (~1.5% of orders
+    qualify at the fixture threshold), so the expensive fact table
+    collapses to a heavy-hitter key list before any join. The orders
+    join reuses the orderkey partitioning of the aggregate (no second
+    fact shuffle under AQE); customer is dimension-sized and
+    broadcasts. Top-100 plans as TakeOrderedAndProject — per-partition
+    top-k then a driver merge, never a global sort. Quantities are
+    integral doubles, so the SUM is exact on both engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            pround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline compositions.
+# ---------------------------------------------------------------------------
+
+# Same content-stable split as llm_train_test_split (llm_ops.py): first
+# md5 hex digit of the doc_id < 13 → train (~81/19).
+_SPLIT_CASE_SQL = """CASE WHEN STRPOS('0123456789abcdef',
+                              SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1))
+                          - 1 < 13
+                     THEN 'train' ELSE 'eval' END"""
+
+
+def _split_col() -> Column:
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    return F.when(digit < 13, F.lit("train")).otherwise(F.lit("eval"))
+
+
+@query(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, text, {_SPLIT_CASE_SQL} AS split FROM documents
+    ), sh AS (
+      SELECT doc_id, split,
+             MD5(ARRAY_TO_STRING(
+               LIST_SLICE(STRING_SPLIT(text, ' '), i, i + 2), ' ')) AS h
+      FROM (
+        SELECT doc_id, split, text,
+               UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 2))
+                 AS i
+        FROM b WHERE LEN(STRING_SPLIT(text, ' ')) >= 3)
+    ), ev AS (
+      SELECT DISTINCT h FROM sh WHERE split = 'eval'
+    ), cont AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN ev ON s.h = ev.h
+      WHERE s.split = 'train'
+    )
+    SELECT b.lang,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean
+    FROM b LEFT JOIN cont c ON b.doc_id = c.doc_id
+    WHERE b.split = 'train'
+    GROUP BY b.lang
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination audit: flag train documents sharing
+    any 3-token shingle with the eval split (benchmark-leakage check).
+
+    The shingling is llm_fingerprint's rolling-window transform
+    (JVM-side slice/array_join — no Python); shingles are md5-hashed so
+    the join key is a fixed-width string, not raw text. The eval
+    shingle set is a fixed ~19% hash fraction of the corpus, distinct'd
+    — the small side by construction — and broadcasts into the train
+    shingle stream; contaminated doc_ids are distinct'd and left-joined
+    back for the per-language audit. At 100 TB: one explode + one
+    broadcast semi-join + two small aggregates; the eval set for a real
+    benchmark suite is tiny, making the broadcast even cheaper than
+    here.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", _split_col().alias("split")
+    )
+    shingles = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> md5(array_join(slice(split(text, ' '), i, 3), ' ')))"
+    )
+    sh = (
+        d.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", "split", F.explode(shingles).alias("h"))
+    )
+    ev = sh.filter(F.col("split") == "eval").select("h").distinct()
+    cont = (
+        sh.filter(F.col("split") == "train")
+        .join(F.broadcast(ev), "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    return (
+        d.filter(F.col("split") == "train")
+        .join(cont, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.coalesce(F.col("is_cont"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum(F.when(F.col("is_cont").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clean"),
+        )
+    )
+
+
+@query(
+    "llm_dedup_pipeline",
+    oracle=f"""
+    WITH surv AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)
+    ), dd AS (
+      SELECT d.* FROM documents d JOIN surv s ON d.doc_id = s.doc_id
+    ), q AS (
+      SELECT lang, {_SPLIT_CASE_SQL} AS split
+      FROM dd
+      WHERE n_chars >= {QUALITY_MIN_CHARS}
+        AND LEN(STRING_SPLIT(text, ' ')) >= {QUALITY_MIN_TOKENS}
+    ), raw_c AS (
+      SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY lang
+    ), dd_c AS (
+      SELECT lang, COUNT(*) AS n_dedup FROM dd GROUP BY lang
+    ), q_c AS (
+      SELECT lang, COUNT(*) AS n_quality,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN split = 'eval' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_eval
+      FROM q GROUP BY lang
+    )
+    SELECT raw_c.lang, raw_c.n_raw, dd_c.n_dedup,
+           q_c.n_quality, q_c.n_train, q_c.n_eval
+    FROM raw_c JOIN dd_c ON raw_c.lang = dd_c.lang
+    JOIN q_c ON raw_c.lang = q_c.lang
+    """,
+)
+def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-preparation funnel in one plan: exact dedup
+    (min-doc_id survivor per text hash) → quality gate (≥100 chars and
+    ≥20 whitespace tokens) → stable train/eval split, audited per
+    language at every stage.
+
+    This is the composition the single-purpose operators
+    (llm_exact_dedup, llm_quality_filter, llm_train_test_split) exist
+    for, expressed as ONE DataFrame so Catalyst sees the whole funnel:
+    the survivor join is a self-semi-join on the text hash, the quality
+    gate is a pushdown-able filter on the survivor side, and all three
+    audit aggregates group on the low-cardinality lang key. At 100 TB
+    the funnel runs as two fact shuffles (hash-group, survivor join) +
+    three cheap rollups — no stage materializes between steps.
+    """
+    d = load(spark, sf_dir, "documents")
+    surv = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dd = d.join(surv.select("doc_id"), "doc_id")
+    q = dd.filter(
+        (F.col("n_chars") >= QUALITY_MIN_CHARS)
+        & (F.size(F.split("text", " ")) >= QUALITY_MIN_TOKENS)
+    ).select("lang", _split_col().alias("split"))
+    raw_c = d.groupBy("lang").agg(F.count("*").alias("n_raw"))
+    dd_c = dd.groupBy("lang").agg(F.count("*").alias("n_dedup"))
+    q_c = q.groupBy("lang").agg(
+        F.count("*").alias("n_quality"),
+        F.sum((F.col("split") == "train").cast("int"))
+        .cast("long")
+        .alias("n_train"),
+        F.sum((F.col("split") == "eval").cast("int"))
+        .cast("long")
+        .alias("n_eval"),
+    )
+    return raw_c.join(dd_c, "lang").join(q_c, "lang")

@@ -110,6 +110,22 @@ def _roundtrip_verified(written: DataFrame, back: DataFrame) -> DataFrame:
     return back.sparkSession.createDataFrame(back_rows, schema=back.schema)
 
 
+def _roundtrip_verified_big(written: DataFrame, back: DataFrame) -> DataFrame:
+    """Distributed multiset-equality assertion for roundtrips whose row
+    count makes a driver-side compare inappropriate: symmetric
+    ``exceptAll`` (order-insensitive, duplicate-aware) — the pattern
+    that still works when the roundtrip payload is a full corpus, not a
+    tiny aggregate."""
+    missing = written.exceptAll(back).count()
+    extra = back.exceptAll(written).count()
+    if missing or extra:
+        raise AssertionError(
+            f"roundtrip mismatch: {missing} written rows lost,"
+            f" {extra} rows differ after read-back"
+        )
+    return back
+
+
 @query("source_csv_roundtrip")
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV write→read roundtrip (SURVEY.md §2.A, no-oracle: side-effecting).
@@ -1008,6 +1024,43 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.write.mode("overwrite").orc(str(out))
         back = spark.read.orc(str(out))
         return _roundtrip_verified(agg, back).orderBy("s_nationkey")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query("source_text_roundtrip")
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text write→read roundtrip (SURVEY.md §2.A family,
+    no-oracle: side-effecting).
+
+    ``spark.read.text`` is the raw-corpus ingestion path an LLM pipeline
+    starts from (one line = one record, schema = a single ``value``
+    string). Documents' text is single-line in the fixtures, so the
+    write→read is lossless; the content assertion compares the full
+    line multisets, and the returned audit aggregate (per-first-char
+    line counts + total chars) keeps the driver-side result small and
+    stable.
+    """
+    out = _SCRATCH / f"text_{uuid.uuid4().hex}"
+    lines = load(spark, sf_dir, "documents").select(
+        F.col("text").alias("value")
+    )
+    try:
+        lines.write.mode("overwrite").text(str(out))
+        back = spark.read.text(str(out))
+        audit = (
+            _roundtrip_verified_big(lines, back)
+            .groupBy(F.substring("value", 1, 1).alias("first_char"))
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum(F.length("value")).alias("n_chars"),
+            )
+            .orderBy("first_char")
+        )
+        # Force before the scratch dir is removed: the plan reads `out`.
+        return audit.sparkSession.createDataFrame(
+            audit.collect(), schema=audit.schema
+        )
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -185,7 +185,10 @@ def test_no_scale_red_flags_any_query(spark):
                "llm_ann_ivf", "llm_quality_filter",
                # composes llm_cosine_topk, inheriting its probe-bounded
                # (≤10-row broadcast) cross join
-               "llm_ann_recall"}
+               "llm_ann_recall",
+               # 1-row global min/max aggregate broadcast into the
+               # bucketing projection
+               "agg_histogram"}
     # An unpartitioned window is acceptable only over metadata-bounded
     # input. Currently empty: round 1's entries (llm_jaccard_neardup,
     # llm_lsh_neardup) no longer plan any Window at all, and keeping
