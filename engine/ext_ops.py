@@ -146,7 +146,13 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique within a user. At 100 TB this is the shape you want —
     per-user state never materializes outside its partition.
     """
-    e = load(spark, sf_dir, "events")
+    return sessionize(load(spark, sf_dir, "events"), SESSION_GAP_SECS)
+
+
+def sessionize(e: DataFrame, gap_secs: float) -> DataFrame:
+    """Sessionize any (user_id, event_id, ts, event_type) DataFrame —
+    the win_sessionize logic, factored for property tests over
+    hypothesis-generated event streams."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # Fractional epoch seconds (µs-precision timestamps): unix_timestamp
     # truncates each side before subtracting and disagrees with the
@@ -155,7 +161,7 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = (
         F.when(
             F.lag("ts").over(w).isNull()
-            | ((secs - F.lag(secs).over(w)) > SESSION_GAP_SECS),
+            | ((secs - F.lag(secs).over(w)) > gap_secs),
             1,
         )
         .otherwise(0)
