@@ -167,6 +167,37 @@ def test_bucketed_join_eliminates_shuffle(spark):
         shutil.rmtree("spark-warehouse", ignore_errors=True)
 
 
+def test_subqueries_decorrelate_to_joins(spark):
+    """Catalyst must rewrite the SQL-surface subqueries into joins —
+    EXISTS/NOT EXISTS to semi/anti, the correlated scalar aggregate to
+    an aggregate + outer join — never per-outer-row re-execution (the
+    difference between O(n) and O(n·m) at scale)."""
+    p = plan(spark, "sql_exists_subquery")
+    assert "Semi" in p and "Anti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    p2 = plan(spark, "sql_scalar_subquery")
+    assert "LeftOuter" in p2, "scalar subquery not decorrelated to a join"
+
+
+def test_sessionize_single_exchange(spark):
+    """Both window passes AND the per-session aggregate must share one
+    user_id shuffle — a second Exchange would double the sessionizer's
+    network cost at 100 TB."""
+    p = plan(spark, "win_sessionize")
+    assert p.count("Exchange (") == 1, "sessionizer introduced extra shuffles"
+
+
+def test_q18_takeordered_and_aggregate_first(spark):
+    """Q18's top-100 must plan TakeOrderedAndProject, and the selective
+    HAVING aggregate must collapse lineitem before the dimension joins
+    (the scan reads only the 2 aggregate columns)."""
+    p = plan(spark, "q18_large_volume")
+    assert "TakeOrderedAndProject" in p
+    li_schema = p.split("lineitem.parquet]")[1].split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in li_schema and "l_quantity" in li_schema
+    assert "l_extendedprice" not in li_schema
+
+
 def test_no_scale_red_flags_any_query(spark):
     """Sweep every registered plan for patterns that break at scale:
     cartesian products, nested-loop joins, and data-sized global (single-
