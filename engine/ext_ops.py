@@ -355,6 +355,208 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Runtime-filter join: semi-join reduction via Spark's injected bloom
+# filter.
+# ---------------------------------------------------------------------------
+
+_BLOOM_CONFS = {
+    # The injection heuristics compare CREATION side size (must be under
+    # the threshold — the bloom is built from it) and APPLICATION side
+    # scan size (must be over its threshold — pruning must be worth it).
+    # The fixture tables are far below the production default of 10 GB
+    # application-side, so the thresholds are forced for the witness;
+    # at real scale the defaults fire on exactly this plan shape.
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # Large-large regime: broadcast off so the join is the sort-merge
+    # a 100 TB fact-fact join would be.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_prefilter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan for join_bloom_prefilter — factored so the plan
+    test can explain it (asserting ``might_contain`` on the fact scan)
+    without executing."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            pround(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-fact join accelerated by a runtime bloom filter:
+    Catalyst builds a bloom over the filtered orders keys and injects
+    ``might_contain`` into the lineitem scan, pruning ~80% of the fact
+    rows BEFORE the join shuffle (semi-join reduction).
+
+    This is the scale mechanism for joins where the selective side is
+    too big to broadcast but still selective: the only extra cost is a
+    ~1 MB bloom aggregate, and the shuffle shrinks by the filter's
+    selectivity. Result values are identical to the plain join (the
+    bloom only discards rows the join would drop) — the oracle IS the
+    plain join. Spark resolves the physical plan at action time, so the
+    thresholds stay set while the result materializes and are restored
+    after; the returned frame is the collected result re-localized
+    (rows: one per priority group).
+    """
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        res = bloom_prefilter_frame(spark, sf_dir)
+        return spark.createDataFrame(res.collect(), schema=res.schema)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: runs of consecutive active days.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_gap_islands",
+    oracle="""
+    WITH dd AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events
+    ), g AS (
+      SELECT user_id, day,
+             CASE WHEN LAG(day) OVER w IS NULL
+                    OR DATE_DIFF('day', LAG(day) OVER w, day) > 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM dd
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), isl AS (
+      SELECT user_id, day,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY day)
+                  AS BIGINT) AS island_idx
+      FROM g
+    )
+    SELECT user_id, island_idx,
+           MIN(day) AS start_day, MAX(day) AS end_day,
+           COUNT(*) AS n_days
+    FROM isl GROUP BY 1, 2
+    """,
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over per-user active days: maximal runs of
+    consecutive calendar days with ≥1 event, with run bounds and
+    length.
+
+    The dual of sessionization on a discrete axis: distinct
+    (user, day) first (collapsing the fact table to at most
+    users×days rows), then the same lag → is-new → running-sum idiom.
+    The distinct, both windows, and the island aggregate all partition
+    on user_id, so the whole operator is one exchange after the
+    per-day collapse. Days are midnight-truncated timestamps (not
+    DATE) so both engines hash the same logical type.
+    """
+    e = load(spark, sf_dir, "events")
+    dd = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    is_new = (
+        F.when(
+            F.lag("day").over(w).isNull()
+            | (F.datediff(F.col("day"), F.lag("day").over(w)) > 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new")
+    )
+    return (
+        dd.select("user_id", "day", is_new)
+        .withColumn("island_idx", F.sum("is_new").over(w))
+        .groupBy("user_id", "island_idx")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count("*").alias("n_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token-distribution entropy.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_doc_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tok,
+           COUNT(*) AS n_distinct,
+           ROUND(LN(CAST(SUM(c) AS DOUBLE))
+                 - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))
+                   / SUM(c), 4) AS entropy
+    FROM tf GROUP BY doc_id
+    """,
+)
+def llm_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the
+    repetitiveness signal (low entropy = boilerplate/spam) used
+    alongside lexical diversity in corpus quality filtering.
+
+    Uses the single-aggregate identity H = ln(N) − (Σ c·ln c)/N over
+    per-(doc, token) counts, so the whole operator is two grouped
+    aggregates on the same doc_id-prefixed keys (partial aggregation
+    map-side; no window, no join, no second pass over text). Natural
+    log on identical doubles is bit-stable across both engines (same
+    pattern llm_lang_id relies on), and the result is rounded
+    in-query.
+    """
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    c = F.col("c").cast("double")
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count("*").alias("n_distinct"),
+        pround(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(c * F.log(c)) / F.sum("c"),
+            4,
+        ).alias("entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # LLM-pipeline compositions.
 # ---------------------------------------------------------------------------
 

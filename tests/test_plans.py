@@ -198,6 +198,32 @@ def test_q18_takeordered_and_aggregate_first(spark):
     assert "l_extendedprice" not in li_schema
 
 
+def test_bloom_runtime_filter_injected(spark):
+    """join_bloom_prefilter's reason to exist: with the thresholds in
+    the large-large regime, Catalyst must build a bloom over the
+    selective orders side and inject might_contain into the lineitem
+    scan (semi-join reduction before the shuffle)."""
+    from engine.ext_ops import _BLOOM_CONFS, bloom_prefilter_frame
+
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        df = bloom_prefilter_frame(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        p = buf.getvalue()
+        assert "might_contain" in p, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in p
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_no_scale_red_flags_any_query(spark):
     """Sweep every registered plan for patterns that break at scale:
     cartesian products, nested-loop joins, and data-sized global (single-
