@@ -354,6 +354,98 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_quantile")
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per return flag — the SCALE PATH of
+    agg_percentile (no-oracle: sketch internals are engine-specific, so
+    the driver gets the rows-only check; the tolerance contract vs the
+    exact percentiles is asserted in tests/test_ext_ops.py).
+
+    ``approx_percentile`` builds a bounded-memory Greenwald-Khanna
+    sketch per group that merges associatively map-side — at 100 TB the
+    exact percentile's full per-group sort buffer is not an option, and
+    this is the operator you run instead: one partial-aggregate pass,
+    sketch size (here ±1/10000 rank error) independent of group row
+    count.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.expr(
+                "approx_percentile(l_extendedprice,"
+                " array(0.25, 0.5, 0.75, 0.9), 10000)"
+            ).alias("ps"),
+        )
+        .select(
+            "l_returnflag",
+            "n_items",
+            *[
+                pround(F.col("ps")[i], 4).alias(f"ap{p}")
+                for i, p in enumerate((25, 50, 75, 90))
+            ],
+        )
+    )
+
+
+@query(
+    "llm_token_regex",
+    oracle="""
+    WITH pre AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]'))
+               AS tok
+      FROM documents
+    ), sub AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(tok, '.{1,4}')) AS piece
+      FROM pre
+    ), p AS (
+      SELECT doc_id, COUNT(*) AS n_pretok FROM pre GROUP BY doc_id
+    ), s AS (
+      SELECT doc_id, COUNT(*) AS n_subword,
+             COUNT(DISTINCT piece) AS n_piece_vocab
+      FROM sub GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_pretok, s.n_subword, s.n_piece_vocab
+    FROM p JOIN s ON p.doc_id = s.doc_id
+    """,
+)
+def llm_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-based tokenization: GPT-style pretokenizer (runs of
+    alphanumerics, or single punctuation) then fixed-width subword
+    chunking (≤4 chars — the BPE-piece-count proxy), with the
+    per-document piece vocabulary size.
+
+    Complements llm_token_count's whitespace+⌈len/4⌉ heuristic with
+    the regex path the tokenizer-parity audits actually run. Both
+    stages are JVM-side ``regexp_extract_all`` + explode (no Python);
+    the two aggregates share the doc_id key, so the join after them is
+    co-partitioned and shuffle-free under AQE. The pattern is engine-
+    portable (character classes only — no \\w/\\b unicode semantics to
+    disagree on).
+    """
+    d = load(spark, sf_dir, "documents")
+    pre = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("tok"),
+    )
+    sub = pre.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(tok, '.{1,4}', 0)")).alias(
+            "piece"
+        ),
+    )
+    p = pre.groupBy("doc_id").agg(F.count("*").alias("n_pretok"))
+    s = sub.groupBy("doc_id").agg(
+        F.count("*").alias("n_subword"),
+        F.countDistinct("piece").alias("n_piece_vocab"),
+    )
+    return p.join(s, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Runtime-filter join: semi-join reduction via Spark's injected bloom
 # filter.

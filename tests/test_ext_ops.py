@@ -127,6 +127,24 @@ def test_histogram_partitions_all_rows(spark):
     assert all(0 <= r.bucket <= 9 for r in rows)
 
 
+def test_approx_quantile_tracks_exact(spark):
+    """The sketch path must stay within 1% relative error of the exact
+    percentiles — the contract that justifies using it at scale."""
+    aq = {
+        r.l_returnflag: r
+        for r in engine.QUERIES["agg_approx_quantile"](spark, SF_DIR).collect()
+    }
+    for r in engine.QUERIES["agg_percentile"](spark, SF_DIR).collect():
+        a = aq[r.l_returnflag]
+        for approx, exact in [
+            (a.ap25, r.p25),
+            (a.ap50, r.p50),
+            (a.ap75, r.p75),
+            (a.ap90, r.p90),
+        ]:
+            assert abs(approx - exact) / exact < 0.01, (r.l_returnflag,)
+
+
 def test_q18_bounded_and_ordered(spark):
     """Top-100 contract: ≤100 rows, descending price with orderkey
     tiebreak, every total above the threshold."""
