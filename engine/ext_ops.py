@@ -649,6 +649,144 @@ def llm_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lexical retrieval: inverted index + BM25 — the text-side counterpart
+# of the embedding ANN family (llm_ann_lsh / llm_ann_ivf).
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("scan", "hash", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+POSTINGS_CAP = 20
+
+
+@query(
+    "llm_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT token,
+           COUNT(*) AS df,
+           LIST_SLICE(LIST(doc_id ORDER BY doc_id), 1, {POSTINGS_CAP})
+             AS postings_head
+    FROM tok GROUP BY token
+    """,
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: token → document frequency + sorted
+    posting list (head capped at POSTINGS_CAP=20 for the audit row —
+    the full list is the same aggregate without the slice).
+
+    The retrieval-side structure every lexical search over a corpus
+    needs: one explode + distinct + one grouped aggregate, all keyed on
+    token, so the index build is a single shuffle and each posting
+    list lands in one task — at 100 TB you'd additionally bucket the
+    output by token so query-time lookups prune to one bucket.
+    Postings are sort_array'd in-aggregate, making the array value
+    deterministic under any partitioning.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    return tok.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP
+        ).alias("postings_head"),
+    )
+
+
+@query(
+    "llm_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok WHERE token IN {BM25_QUERY!r}
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               LN(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1}
+                  * (1.0 - {BM25_B}
+                     + {BM25_B} * dl.dl / stats.avgdl))
+             ) AS score
+      FROM tf
+      JOIN df ON tf.token = df.token
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-10 documents for a fixed probe
+    query, Okapi scoring (idf · saturated tf · length normalization,
+    k1=1.2, b=0.75).
+
+    The query-token filter lands BEFORE any aggregation (only rows for
+    the ~|query| tokens survive the explode), df and the corpus stats
+    are tiny aggregates broadcast back, and the per-doc score is one
+    grouped SUM — so the retrieval plan is: filtered explode, two
+    1-to-few broadcasts, one shuffle on doc_id, TakeOrderedAndProject
+    for the top-k. The idf is the BM25+ ln(1 + (N−df+0.5)/(df+0.5))
+    form, strictly positive so common terms can't flip signs. Natural
+    log on identical doubles is engine-stable (llm_doc_entropy
+    pattern).
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf")
+        + BM25_K1
+        * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * norm).alias("raw"))
+        .select("doc_id", pround(F.col("raw"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # LLM-pipeline compositions.
 # ---------------------------------------------------------------------------
 

@@ -245,7 +245,10 @@ def test_no_scale_red_flags_any_query(spark):
                "llm_ann_recall",
                # 1-row global min/max aggregate broadcast into the
                # bucketing projection
-               "agg_histogram"}
+               "agg_histogram",
+               # 1-row corpus stats (n_docs, avgdl) broadcast into the
+               # per-doc scoring projection
+               "llm_bm25_topk"}
     # An unpartitioned window is acceptable only over metadata-bounded
     # input. Currently empty: round 1's entries (llm_jaccard_neardup,
     # llm_lsh_neardup) no longer plan any Window at all, and keeping
