@@ -648,6 +648,68 @@ def llm_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q10_FROM = "1999-01-01"
+Q10_TO = "1999-07-01"
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(c.c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '{Q10_FROM} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{Q10_TO} 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog (returned-item reporting): top-20 customers by
+    revenue lost to returns in one half-year window.
+
+    The two selective predicates (return flag, date range) are on
+    different fact tables and both reach their parquet scans; the
+    orders⋈lineitem shuffle is the backbone, customer and nation
+    broadcast, and the top-20 plans as TakeOrderedAndProject. The
+    classic returned-item report — and the fourth TPC-H composite
+    (Q1/Q3/Q5/Q18 analogs are registered separately).
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{Q10_FROM} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{Q10_TO} 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            pround(F.col("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Lexical retrieval: inverted index + BM25 — the text-side counterpart
 # of the embedding ANN family (llm_ann_lsh / llm_ann_ivf).
