@@ -890,10 +890,20 @@ def _lloyd_cte(k: int) -> str:
 def _lloyd_el(emb: DataFrame) -> DataFrame:
     """(vec_id, d, x) exploded double elements — Lloyd's working set.
     posexplode is 0-based vs the oracle's 1-based GENERATE_SERIES; both
-    sides join centroids on their own ``d``, so alignment is internal."""
-    return emb.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    ).withColumn("x", F.col("x").cast("double"))
+    sides join centroids on their own ``d``, so alignment is internal.
+
+    localCheckpoint'ed: every Lloyd iteration scans ``el`` twice
+    (distance join + centroid update) and the IVF consumer adds more,
+    so without truncation the scan+explode lineage re-executes
+    5-6× — measured 2-8× slower and wildly variant under host load
+    (llm_ann_ivf up to 34 s vs a stable ~3 s checkpointed at sf0.1).
+    On a cluster this is ``persist()``/``checkpoint()`` of the working
+    set — the standard iterative-algorithm pattern."""
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .localCheckpoint(eager=True)
+    )
 
 
 def _lloyd(el: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
@@ -950,9 +960,10 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over the embedding corpus: {K_KMEANS} clusters,
     {KMEANS_ITERS} unrolled Lloyd iterations, deterministic init (the
     first {K_KMEANS} vectors). See :func:`_lloyd` for the iterative-
-    algorithm pattern; with {KMEANS_ITERS} unrolled iterations lineage
-    is shallow enough that recompute beats cache residency (a production
-    run persists the assignment between iterations)."""
+    algorithm pattern; the exploded working set is localCheckpoint'ed
+    (see :func:`_lloyd_el`) so the per-iteration joins don't re-execute
+    the scan+explode lineage (a production run additionally persists
+    the assignment between iterations)."""
     emb = load(spark, sf_dir, "embeddings")
     assign, cent = _lloyd(_lloyd_el(emb), K_KMEANS)
     n = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
