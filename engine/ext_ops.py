@@ -28,11 +28,14 @@ prunes before the dimension joins).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from engine.det import portable_round_sql, pround
+from engine.llm_ops import SPLIT_CASE_SQL, split_col
 from engine.registry import query
 from engine.session import load
 
@@ -466,6 +469,25 @@ _BLOOM_CONFS = {
 }
 
 
+@contextmanager
+def bloom_confs(spark: SparkSession):
+    """Set the bloom-injection thresholds for the duration of a plan's
+    resolution AND execution (plans resolve at action time, so the
+    restore must not run before the collect). Shared by the registered
+    query and the plan test."""
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def bloom_prefilter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lazy plan for join_bloom_prefilter — factored so the plan
     test can explain it (asserting ``might_contain`` on the fact scan)
@@ -511,18 +533,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     after; the returned frame is the collected result re-localized
     (rows: one per priority group).
     """
-    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    try:
-        for k, v in _BLOOM_CONFS.items():
-            spark.conf.set(k, v)
+    with bloom_confs(spark):
         res = bloom_prefilter_frame(spark, sf_dir)
         return spark.createDataFrame(res.collect(), schema=res.schema)
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 # ---------------------------------------------------------------------------
@@ -781,10 +794,10 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tf.doc_id,
              SUM(
                LN(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-               * tf.tf * ({BM25_K1} + 1.0)
-               / (tf.tf + {BM25_K1}
-                  * (1.0 - {BM25_B}
-                     + {BM25_B} * dl.dl / stats.avgdl))
+               * tf.tf * (CAST({BM25_K1} AS DOUBLE) + 1.0)
+               / (tf.tf + CAST({BM25_K1} AS DOUBLE)
+                  * (1.0 - CAST({BM25_B} AS DOUBLE)
+                     + CAST({BM25_B} AS DOUBLE) * dl.dl / stats.avgdl))
              ) AS score
       FROM tf
       JOIN df ON tf.token = df.token
@@ -852,23 +865,11 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline compositions.
 # ---------------------------------------------------------------------------
 
-# Same content-stable split as llm_train_test_split (llm_ops.py): first
-# md5 hex digit of the doc_id < 13 → train (~81/19).
-_SPLIT_CASE_SQL = """CASE WHEN STRPOS('0123456789abcdef',
-                              SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1))
-                          - 1 < 13
-                     THEN 'train' ELSE 'eval' END"""
-
-
-def _split_col() -> Column:
-    digit = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
-        )
-        - 1
-    )
-    return F.when(digit < 13, F.lit("train")).otherwise(F.lit("eval"))
+# The content-stable train/eval split is defined ONCE in engine.llm_ops
+# (SPLIT_CASE_SQL / split_col, shared with llm_train_test_split) so the
+# ratio can never drift between the three consumers.
+_SPLIT_CASE_SQL = SPLIT_CASE_SQL
+_split_col = split_col
 
 
 @query(

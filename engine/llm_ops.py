@@ -562,16 +562,38 @@ def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The ONE definition of the content-stable train/eval split, shared by
+# llm_train_test_split, llm_decontaminate, and llm_dedup_pipeline
+# (engine.ext_ops): first md5 hex digit of doc_id < SPLIT_TRAIN_BUCKETS
+# (of 16) → train (~81/19). Both forms must change together.
+SPLIT_TRAIN_BUCKETS = 13
+
+SPLIT_CASE_SQL = f"""CASE WHEN STRPOS('0123456789abcdef',
+                              SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1))
+                          - 1 < {SPLIT_TRAIN_BUCKETS}
+                     THEN 'train' ELSE 'eval' END"""
+
+
+def split_col() -> Column:
+    """Spark form of :data:`SPLIT_CASE_SQL`."""
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    return (
+        F.when(digit < SPLIT_TRAIN_BUCKETS, F.lit("train"))
+        .otherwise(F.lit("eval"))
+    )
+
+
 @query(
     "llm_train_test_split",
-    oracle="""
+    oracle=f"""
     WITH b AS (
-      SELECT doc_id, lang,
-             CASE WHEN STRPOS('0123456789abcdef',
-                              SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1))
-                       - 1 < 13
-                  THEN 'train' ELSE 'eval' END AS split
-      FROM documents
+      SELECT doc_id, lang, {SPLIT_CASE_SQL} AS split FROM documents
     )
     SELECT lang, split, COUNT(*) AS n_docs
     FROM b GROUP BY 1, 2
@@ -590,16 +612,8 @@ def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, no shuffle before the audit aggregate.
     """
     d = load(spark, sf_dir, "documents")
-    digit = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
-        )
-        - 1
-    )
-    split = F.when(digit < 13, F.lit("train")).otherwise(F.lit("eval"))
     return (
-        d.select("lang", split.alias("split"))
+        d.select("lang", split_col().alias("split"))
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )

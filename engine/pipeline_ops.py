@@ -65,8 +65,14 @@ def char_shingles(d: DataFrame) -> DataFrame:
     set-similarity machinery (engine.llm_ops.packed_token_sets) applies
     unchanged; shingles cross token boundaries (they include spaces),
     which is what makes char-n-gram Jaccard robust to small edits.
+
+    Texts shorter than NGRAM chars are filtered out first: Spark's
+    ``sequence(1, 0)`` yields a DESCENDING [1, 0] (not empty) and would
+    emit bogus shingles where DuckDB's ``GENERATE_SERIES(1, 0)`` emits
+    none — latent on the fixtures (min text length 44) but a real
+    cross-engine divergence on short documents (round-2 review).
     """
-    return d.select(
+    return d.filter(F.length("text") >= NGRAM).select(
         "doc_id",
         "lang",
         F.explode(

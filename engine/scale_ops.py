@@ -428,30 +428,62 @@ def _hyperplane_dot(k: int, dim: int) -> Column:
     )
 
 
+# Banded-path tuning. Bucket keyspace per band = 2^NEARDUP_BITS: random
+# (uncorrelated) pairs collide in a band with p ≈ (1/2)^NEARDUP_BITS ·
+# corrections, so expected random candidates ≈ N²·bands/2^bits — with 16
+# bits and 8 bands that is ~N²/8192, i.e. ~5·10⁸ at the N=2·10⁶ gate
+# where this path activates: bounded and distributed, vs the Θ(N²)
+# 4-bucket banding this replaces (round-2 review finding). Recall for a
+# pair at angle θ is 1-(1-p₁^bits)^bands with p₁ = 1-θ/π — tuned for the
+# HIGH-similarity regime a production near-dup dedup targets (cosine
+# ≥ 0.95 → p₁ ≈ 0.90 → ~67% per-pass recall; union a second plane seed
+# to boost). Low-threshold exact search stays on the broadcast path.
+NEARDUP_BANDS = 8
+NEARDUP_BITS = 16
+
+
 def _embedding_neardup_banded(emb: DataFrame, dim: int) -> DataFrame:
     """Banded-LSH pairing for cosine near-dup — the path taken when the
     corpus exceeds BROADCAST_MAX_VECS and the exact broadcast matmul
     would materialize the whole table on the driver.
 
-    4 bands × 2 hyperplane sign bits: candidates are pairs agreeing on
-    some band (p = 1-(1-p₁²)⁴ per pair, p₁ = 1-θ/π), verified by exact
-    JVM-side cosine. All shuffles key on small band buckets / vec_id —
-    no driver materialization, no all-pairs join. Approximate recall is
-    the documented contract of the scale path (as with llm_lsh_neardup);
-    the broadcast path below remains the exact witness at fixture scale.
+    NEARDUP_BANDS bands × NEARDUP_BITS hyperplane sign bits packed into
+    one long bucket key per band: candidates are pairs agreeing on some
+    band, verified by exact JVM-side cosine. All shuffles key on
+    (band, bucket) / vec_id — no driver materialization, no all-pairs
+    join, and the bucket keyspace (2^NEARDUP_BITS per band) keeps the
+    self-join quadratic only *within* buckets whose expected occupancy
+    is N/2^bits (heavily clustered corpora should salt or sub-band the
+    hot buckets — same skew playbook as join_skew_salted). Approximate
+    recall is the documented contract of the scale path (as with
+    llm_lsh_neardup); the broadcast path below remains the exact
+    witness at fixture scale.
+
+    The 128 hyperplane dots per vector are declarative higher-order
+    folds here; a production run at the 2M-vector gate should compute
+    the sign matrix as ONE numpy (batch × dim)·(dim × 128) matmul in
+    mapInPandas (the broadcast path's pattern) — same values, one
+    Arrow pass.
     """
     sign = [
         F.when(_hyperplane_dot(k, dim) > 0, 1).otherwise(0)
-        for k in range(ANN_PLANES)
+        for k in range(NEARDUP_BANDS * NEARDUP_BITS)
     ]
-    n_bands = ANN_PLANES // 2
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                (sign[2 * b] * 2 + sign[2 * b + 1]).alias("bv"),
+                sum(
+                    (
+                        sign[b * NEARDUP_BITS + i] * (1 << i)
+                        for i in range(NEARDUP_BITS)
+                    ),
+                    start=F.lit(0),
+                )
+                .cast("long")
+                .alias("bv"),
             )
-            for b in range(n_bands)
+            for b in range(NEARDUP_BANDS)
         ]
     )
     bands = emb.select(

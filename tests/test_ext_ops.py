@@ -148,8 +148,10 @@ def test_approx_quantile_tracks_exact(spark):
 def test_q18_bounded_and_ordered(spark):
     """Top-100 contract: ≤100 rows, descending price with orderkey
     tiebreak, every total above the threshold."""
+    from engine.ext_ops import Q18_QTY_THRESHOLD
+
     rows = engine.QUERIES["q18_large_volume"](spark, SF_DIR).collect()
     assert len(rows) <= 100
     keys = [(-r.o_totalprice, r.o_orderkey) for r in rows]
     assert keys == sorted(keys)
-    assert all(r.total_qty > 250 for r in rows)
+    assert all(r.total_qty > Q18_QTY_THRESHOLD for r in rows)

@@ -203,12 +203,9 @@ def test_bloom_runtime_filter_injected(spark):
     the large-large regime, Catalyst must build a bloom over the
     selective orders side and inject might_contain into the lineitem
     scan (semi-join reduction before the shuffle)."""
-    from engine.ext_ops import _BLOOM_CONFS, bloom_prefilter_frame
+    from engine.ext_ops import bloom_confs, bloom_prefilter_frame
 
-    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
-    try:
-        for k, v in _BLOOM_CONFS.items():
-            spark.conf.set(k, v)
+    with bloom_confs(spark):
         df = bloom_prefilter_frame(spark, SF_DIR)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -216,12 +213,6 @@ def test_bloom_runtime_filter_injected(spark):
         p = buf.getvalue()
         assert "might_contain" in p, "runtime bloom filter not injected"
         assert "bloom_filter_agg" in p
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def test_no_scale_red_flags_any_query(spark):

@@ -145,6 +145,31 @@ def test_lsh_pairs_subset_of_exact_jaccard(spark):
     assert lsh <= exact
 
 
+def test_embedding_banded_pairs_subset_of_exact(spark):
+    """Soundness of the >2M-vector banded cosine path (never taken by
+    the registered query at fixture scale, so exercised directly):
+    every banded pair must appear in the exact broadcast-matmul result
+    with the identical rounded cosine — banding only generates
+    candidates; the verify is exact."""
+    import engine
+    from engine.scale_ops import _emb_dim, _embedding_neardup_banded
+    from engine.session import load
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    banded = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _embedding_neardup_banded(emb, _emb_dim(emb)).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in engine.QUERIES["llm_embedding_neardup"](spark, sf).collect()
+    }
+    assert set(banded) <= set(exact)
+    for k, v in banded.items():
+        assert v == exact[k]
+
+
 @given(
     edge_list=st.lists(
         st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=15
