@@ -137,3 +137,230 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+Q7_NATIONS = ("NATION_3", "NATION_7")
+Q14_START, Q14_END = "1999-01-01", "1999-04-01"
+Q22_CUTOFF = "2000-01-01"
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(YEAR(l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('{Q7_NATIONS[0]}', '{Q7_NATIONS[1]}')
+        AND n2.n_name IN ('{Q7_NATIONS[0]}', '{Q7_NATIONS[1]}')
+        AND n1.n_name <> n2.n_name
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bilateral trade volume between two nations per
+    ship year — the supplier's nation on the lineitem side against the
+    customer's nation on the orders side.
+
+    Both nation dimensions are pre-filtered to the two probe nations
+    BEFORE their joins (each a 2-row broadcast), which turns the
+    supplier and customer joins into semi-join-like reductions; the
+    inequality (supp ≠ cust) is the only cross-dimension residual. The
+    orders⋈lineitem orderkey shuffle is the backbone, as in Q3/Q5 —
+    everything else broadcasts. Year extraction stays JVM-side.
+    """
+    pair = list(Q7_NATIONS)
+    n1 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    n2 = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("n2_nationkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        s.join(F.broadcast(n1), s["s_nationkey"] == n1["n_nationkey"])
+        .join(li, s["s_suppkey"] == li["l_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_nationkey"))
+        .filter(F.col("n_name") != F.col("cust_nation"))
+        .select(
+            F.col("n_name").alias("supp_nation"),
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(pround(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT ROUND(CAST(100 AS DOUBLE)
+                 * SUM(CASE WHEN p.p_type = 'PROMO'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0.0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS promo_pct,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS total_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q14_START} 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '{Q14_END} 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: share of one quarter's revenue from PROMO-type
+    parts — a conditional aggregate ratio over a single fact⋈dim join.
+
+    The quarter predicate prunes the lineitem scan (pushdown); part
+    broadcasts (it is the smaller side by an order of magnitude and
+    joins on its key); both SUMs fold in one partial-aggregate pass, so
+    the plan is scan → broadcast-hash-join → two-phase agg with no
+    extra shuffle. The 100-multiplier is cast to DOUBLE in the oracle —
+    DuckDB decimal-literal arithmetic diverges from Spark doubles.
+    """
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{Q14_START} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q14_END} 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            pround(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                2,
+            ).alias("promo_pct"),
+            pround(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_pred",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: revenue from three disjunctive brand/size/
+    quantity predicate branches — the classic OR-of-ANDs join predicate
+    that exercises Catalyst's CNF extraction.
+
+    The full disjunction references both join sides, so it cannot be
+    pushed as-is; Catalyst extracts the per-side common denominators
+    (brand ∈ {12,23,3} ∧ size ≤ 35 on part, quantity ∈ [1,40] on
+    lineitem) and pushes those to the scans, leaving the cross-side
+    residual on the broadcast join. The plan test asserts the extracted
+    brand filter reaches the part scan.
+    """
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    q, br, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((br == "Brand#12") & sz.between(1, 15) & q.between(1, 20))
+        | ((br == "Brand#23") & sz.between(1, 25) & q.between(10, 30))
+        | ((br == "Brand#3") & sz.between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    ),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00'
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_custs,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM recent r
+                      WHERE r.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: above-average-balance customers with no order
+    since the cutoff (the fixture has no order-less customers, so
+    "never ordered" becomes "dormant since") — per market segment.
+
+    Shape: a 1-row global average broadcast into the customer filter
+    (BNLJ over a single row, whitelisted in the plan sweep), then a
+    LEFT ANTI join against the date-pruned recent-orders keys. The anti
+    join shuffles on custkey — at scale both sides are large, so the
+    shuffle (not a broadcast of all recent buyers) is the right shape;
+    AQE downgrades it to broadcast when the pruned side is small.
+    """
+    c = load(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit(f"{Q22_CUTOFF} 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        c.join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            pround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

@@ -198,6 +198,19 @@ def test_q18_takeordered_and_aggregate_first(spark):
     assert "l_extendedprice" not in li_schema
 
 
+def test_q19_disjunct_extraction_pushes_brand_filter(spark):
+    """Q19's OR-of-ANDs predicate spans both join sides and cannot be
+    pushed whole; Catalyst must extract the per-side common denominator
+    and push the brand disjunction into the part scan (without it, the
+    scan reads every part at 100 TB and the residual filter does all
+    the work post-join)."""
+    p = plan(spark, "q19_disjunctive_pred")
+    part_scan = p.split("part.parquet]")[1]
+    pushed = part_scan.split("PushedFilters:")[1].split("]")[0]
+    assert "p_brand" in pushed, "brand disjunction not pushed to part scan"
+    assert "BroadcastHashJoin" in p
+
+
 def test_bloom_runtime_filter_injected(spark):
     """join_bloom_prefilter's reason to exist: with the thresholds in
     the large-large regime, Catalyst must build a bloom over the
@@ -239,7 +252,10 @@ def test_no_scale_red_flags_any_query(spark):
                "agg_histogram",
                # 1-row corpus stats (n_docs, avgdl) broadcast into the
                # per-doc scoring projection
-               "llm_bm25_topk"}
+               "llm_bm25_topk",
+               # 1-row global average-balance aggregate broadcast into
+               # the customer filter
+               "q22_dormant_customers"}
     # An unpartitioned window is acceptable only over metadata-bounded
     # input. Currently empty: round 1's entries (llm_jaccard_neardup,
     # llm_lsh_neardup) no longer plan any Window at all, and keeping
