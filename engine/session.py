@@ -69,16 +69,23 @@ def get_spark(
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (schemas in FIXTURES.md) as a DataFrame.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    default — read it as long nanos (legacy conf) and truncate to µs
-    TimestampType, matching DuckDB's ns→µs truncation so oracle
-    comparisons agree (SURVEY.md §1.2).
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: parquet TIMESTAMP(NANOS) (Spark 4 rejects it by default —
+    read as long nanos via the legacy conf and truncate to µs), and native
+    TIMESTAMP(MICROS) without UTC adjustment (Spark reads TIMESTAMP_NTZ).
+    Normalize both to session-zone TimestampType (session tz is UTC, so the
+    NTZ→TZ cast is value-preserving and matches DuckDB's naive reading;
+    SURVEY.md §1.2).
     """
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

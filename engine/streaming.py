@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -37,18 +38,29 @@ from engine.session import load
 
 _SCRATCH = Path(__file__).resolve().parent.parent / ".scratch"
 
-# Explicit schema for the streaming file source (never infer on a stream).
-# ts arrives as long nanos (parquet TIMESTAMP(NANOS), see engine.session.load).
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_stream_schema(sf_dir: str) -> tuple[StructType, bool]:
+    """Explicit schema for the streaming file source (never infer on a stream).
+
+    ``events.ts`` has shipped both as parquet TIMESTAMP(NANOS) (read as long
+    nanos via the legacy conf) and as native TIMESTAMP(MICROS)/NTZ — sniff the
+    footer (pyarrow, metadata-only) and build the matching Spark schema.
+    Returns (schema, ts_is_long).
+    """
+    import pyarrow.parquet as pq
+
+    arrow_ts = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    ts_is_long = str(arrow_ts).startswith("int") or str(arrow_ts).endswith("[ns]")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_long else TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    return schema, ts_is_long
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,11 +71,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §3.4: batch and streaming share one logical-plan front-end).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema, ts_is_long = _events_stream_schema(sf_dir)
+    ts_norm = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if ts_is_long
+        else F.col("ts").cast(TimestampType())
+    )
     return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", ts_norm)
     )
 
 
