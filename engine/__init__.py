@@ -16,29 +16,43 @@ from engine import registry as registry  # noqa: F401
 # Importing the operator modules registers their queries/oracles.
 #
 # ORDER MATTERS for the driver's correctness sweep: it checks queries in
-# registration order and caps the per-round report (CORRECTNESS_r01 held
-# exactly the first 50 registrations). The LLM-pipeline / multimodal / UDx /
-# composite / streaming families therefore register FIRST; the relational
-# core (fully driver-validated in round 1) registers last and absorbs any
-# truncation. Inter-module imports (scale_ops/pipeline_ops use llm_ops
-# helpers; analytics_ops composes registered scale_ops queries at call
-# time) are satisfied by this order.
+# registration order and caps the per-round report at 50 rows
+# (CORRECTNESS_r01/r02 each held exactly the first 50 registrations).
+# Each round the modules whose queries still LACK a green driver row
+# register first; families already proven in a prior round register last
+# and absorb the truncation.
+#
+# Round-3 priority (queries with no green row after r01 ∪ r02):
+#   ext_ops    — all 17 round-2 additions (registered past the r02 cap)
+#   streaming  — 4 never checked + stream_sliding/session failed r02 on
+#                the events.ts encoding change (fixed in engine.session)
+#   udx        — udf_apply_in_pandas / udf_map_in_pandas failed r02 (same)
+#   analytics  — events_funnel failed r02 (same)
+# Proven families (every query green in r01 or r02) follow. Inter-module
+# imports stay within this order: ext_ops uses the leaf engine.splits (not
+# llm_ops); scale_ops/pipeline_ops pull in llm_ops, which registers llm_ops
+# immediately before them either way.
+from engine import ext_ops as ext_ops  # noqa: F401
+from engine import streaming as streaming  # noqa: F401
+from engine import udx as udx  # noqa: F401
+from engine import analytics_ops as analytics_ops  # noqa: F401
+
+# Round-3 additions: need first-time driver rows, so they precede the
+# proven families but never displace the re-check set above.
+from engine import training_ops as training_ops  # noqa: F401
+
 from engine import llm_ops as llm_ops  # noqa: F401
 from engine import scale_ops as scale_ops  # noqa: F401
 from engine import pipeline_ops as pipeline_ops  # noqa: F401
 from engine import multimodal as multimodal  # noqa: F401
-from engine import udx as udx  # noqa: F401
-from engine import analytics_ops as analytics_ops  # noqa: F401
 from engine import composite as composite  # noqa: F401
-from engine import streaming as streaming  # noqa: F401
-
-# Round-2 additions register after the 50 queries that lacked r1 driver
-# rows (they must not displace those from the capped sweep) but before
-# the driver-proven relational core.
-from engine import ext_ops as ext_ops  # noqa: F401
 from engine import relational as relational  # noqa: F401
 from engine import functions as functions  # noqa: F401
 from engine import windows as windows  # noqa: F401
+
+# Deferred (callable) oracles compose other registered oracles; resolve
+# them now that every module has imported.
+registry.resolve_oracles()
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

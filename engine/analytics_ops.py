@@ -210,10 +210,12 @@ def llm_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_recall_oracle() -> str:
-    # Composes the two registered oracles (already portable-rounded at
-    # their own registration; ROUND() here is rewritten at THIS
-    # registration). DuckDB allows CTE bodies to be subqueries that
-    # themselves open WITH clauses.
+    # Composes the two registered oracles — passed to @query as a
+    # CALLABLE, resolved by registry.resolve_oracles() after all modules
+    # import, so analytics_ops may register before llm_ops/scale_ops
+    # (the driver's capped sweep walks registration order). DuckDB
+    # allows CTE bodies to be subqueries that themselves open WITH
+    # clauses.
     exact_sql = ORACLES["llm_cosine_topk"]
     approx_sql = ORACLES["llm_ann_lsh"]
     return f"""
@@ -230,7 +232,7 @@ def _ann_recall_oracle() -> str:
     """
 
 
-@query("llm_ann_recall", oracle=_ann_recall_oracle())
+@query("llm_ann_recall", oracle=_ann_recall_oracle)
 def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index quality evaluation: recall@3 of the LSH-bucketed
     neighbors (llm_ann_lsh) against the exact brute-force top-k

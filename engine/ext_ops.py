@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from engine.det import portable_round_sql, pround
-from engine.llm_ops import SPLIT_CASE_SQL, split_col
+from engine.splits import SPLIT_CASE_SQL, split_col
 from engine.registry import query
 from engine.session import load
 

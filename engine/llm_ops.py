@@ -562,31 +562,14 @@ def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The ONE definition of the content-stable train/eval split, shared by
-# llm_train_test_split, llm_decontaminate, and llm_dedup_pipeline
-# (engine.ext_ops): first md5 hex digit of doc_id < SPLIT_TRAIN_BUCKETS
-# (of 16) → train (~81/19). Both forms must change together.
-SPLIT_TRAIN_BUCKETS = 13
-
-SPLIT_CASE_SQL = f"""CASE WHEN STRPOS('0123456789abcdef',
-                              SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1))
-                          - 1 < {SPLIT_TRAIN_BUCKETS}
-                     THEN 'train' ELSE 'eval' END"""
-
-
-def split_col() -> Column:
-    """Spark form of :data:`SPLIT_CASE_SQL`."""
-    digit = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
-        )
-        - 1
-    )
-    return (
-        F.when(digit < SPLIT_TRAIN_BUCKETS, F.lit("train"))
-        .otherwise(F.lit("eval"))
-    )
+# The content-stable train/eval split lives in the leaf module
+# engine.splits (shared with ext_ops without cross-registering modules);
+# re-exported here for the existing import sites.
+from engine.splits import (  # noqa: E402
+    SPLIT_CASE_SQL as SPLIT_CASE_SQL,
+    SPLIT_TRAIN_BUCKETS as SPLIT_TRAIN_BUCKETS,
+    split_col as split_col,
+)
 
 
 @query(

@@ -38,8 +38,17 @@ def _pin_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
-def query(qid: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    qid: str, oracle: str | Callable[[], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``qid``; optionally with a DuckDB oracle.
+
+    ``oracle`` may be a SQL string, or a zero-arg callable returning one
+    for oracles COMPOSED from other registered oracles (e.g.
+    llm_ann_recall) — callables are resolved by :func:`resolve_oracles`
+    after every module has imported, so composition never constrains
+    module registration order (which the driver's capped correctness
+    sweep walks; see engine/__init__).
 
     Queries without an oracle get the driver's weaker rows-only check
     (SURVEY.md §2 'no-oracle' rows).
@@ -57,8 +66,25 @@ def query(qid: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[qid] = wrapped
         if oracle is not None:
             # ROUND() in oracle strings is rewritten to the portable
-            # floor-based form so both engines round identically (engine.det).
-            ORACLES[qid] = portable_round_sql(oracle)
+            # floor-based form so both engines round identically
+            # (engine.det); callables are rewritten when resolved.
+            ORACLES[qid] = (
+                oracle if callable(oracle) else portable_round_sql(oracle)
+            )
         return wrapped
 
     return deco
+
+
+def resolve_oracles() -> None:
+    """Resolve deferred (callable) oracles in place.
+
+    Called once at the end of ``engine/__init__`` — by then every
+    composed-from oracle is a registered string (already
+    portable-rounded at its own registration; re-rewriting is a no-op
+    on rewritten text, so only the composing SQL's own ROUND() calls
+    change here).
+    """
+    for qid, o in list(ORACLES.items()):
+        if callable(o):
+            ORACLES[qid] = portable_round_sql(o())

@@ -255,7 +255,13 @@ def test_no_scale_red_flags_any_query(spark):
                "llm_bm25_topk",
                # 1-row global average-balance aggregate broadcast into
                # the customer filter
-               "q22_dormant_customers"}
+               "q22_dormant_customers",
+               # 1-row tercile-boundary aggregate (b1, b2) broadcast
+               # into the bucketing projection
+               "llm_quality_buckets",
+               # 1-row corpus-token-total aggregate broadcast into the
+               # per-token scoring projection
+               "llm_unigram_surprisal"}
     # An unpartitioned window is acceptable only over metadata-bounded
     # input. Currently empty: round 1's entries (llm_jaccard_neardup,
     # llm_lsh_neardup) no longer plan any Window at all, and keeping
