@@ -228,6 +228,36 @@ def test_bloom_runtime_filter_injected(spark):
         assert "bloom_filter_agg" in p
 
 
+def test_q9_broadcasts_all_dims_single_fact_shuffle(spark):
+    """Q9's star join: the filtered part dim plus supplier/nation must
+    all broadcast, and the p_name LIKE filter must be pushed into the
+    part scan — the fact table shuffles once (against orders), never
+    against a dimension."""
+    p = plan(spark, "q9_product_profit")
+    assert p.count("BroadcastHashJoin") >= 3
+    part_scan = p.split("part.parquet]")[1]
+    pushed = part_scan.split("PushedFilters:")[1].split("]")[0]
+    assert "p_name" in pushed, "part name filter not pushed to scan"
+
+
+def test_gopher_quality_is_map_only(spark):
+    """The rule gate derives every metric from the split array via JVM
+    higher-order functions — any Exchange in this plan means a shuffle
+    crept into an embarrassingly-parallel operator."""
+    p = plan(spark, "llm_gopher_quality")
+    assert "Exchange" not in p, "map-only quality gate plans a shuffle"
+    assert "BatchEvalPython" not in p, "quality gate fell into Python"
+
+
+def test_shard_manifest_single_shuffle(spark):
+    """The manifest is one hash aggregation on the shard key: exactly
+    one Exchange (the map-side partial aggregate handles the rest), no
+    Python, no window."""
+    p = plan(spark, "llm_shard_manifest")
+    assert p.count("Exchange (") == 1, "manifest needs exactly one shuffle"
+    assert "BatchEvalPython" not in p
+
+
 def test_no_scale_red_flags_any_query(spark):
     """Sweep every registered plan for patterns that break at scale:
     cartesian products, nested-loop joins, and data-sized global (single-
