@@ -43,6 +43,8 @@ GOPHER_MIN_COMMON_FRAC = 0.05  # stopword-coverage analog
 COMMON_TOKENS = ("join", "hash", "row", "batch", "scan", "filter")
 N_SHARDS = 8
 MIX_TARGET_SHARE = 0.2  # uniform target over the 5 fixture langs
+BLOCK_TOKENS = 8  # sub-document dedup granularity (C4's 3-sentence span)
+ROLL_MEDIAN_FRAME = 5  # rolling-median window: current + 4 preceding
 
 
 @query(
@@ -523,4 +525,143 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(pround(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "llm_block_dedup",
+    oracle=f"""
+    WITH blk AS (
+      SELECT doc_id,
+             ARRAY_TO_STRING(
+               LIST_SLICE(STRING_SPLIT(text, ' '),
+                          (i - 1) * {BLOCK_TOKENS} + 1,
+                          i * {BLOCK_TOKENS}), ' ') AS block
+      FROM (
+        SELECT doc_id, text,
+               UNNEST(GENERATE_SERIES(
+                 1, LEN(STRING_SPLIT(text, ' ')) // {BLOCK_TOKENS})) AS i
+        FROM documents)
+    ), shared AS (
+      SELECT block FROM blk GROUP BY block
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ), audit AS (
+      SELECT b.doc_id,
+             COUNT(*) AS n_blocks,
+             CAST(SUM(CASE WHEN s.block IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_blocks
+      FROM blk b LEFT JOIN shared s ON b.block = s.block
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_blocks, n_dup_blocks,
+           ROUND(1.0 - CAST(n_dup_blocks AS DOUBLE) / n_blocks, 4)
+             AS retained_frac
+    FROM audit
+    """,
+)
+def llm_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (block-level) exact dedup audit — the C4 rule family
+    ('remove any three-sentence span occurring more than once') at
+    {BLOCK_TOKENS}-token-block granularity: per document, how many of
+    its non-overlapping token blocks also appear in ANOTHER document,
+    and the fraction that would survive block-level dedup.
+
+    Blocks derive JVM-side (transform over sequence, zero Python); the
+    shared-block set is one distinct-doc-count shuffle on the block
+    hash, then a left join back — at 100 TB the join key is the block
+    string (hashable to 16 bytes with identical semantics), and both
+    shuffles are map-side-combinable. Documents shorter than one block
+    contribute zero blocks and drop from the audit (matching the
+    oracle's GENERATE_SERIES emptiness).
+    """
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    blk = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) div {BLOCK_TOKENS}),"
+                f" i -> array_join(slice(toks, (i - 1) * {BLOCK_TOKENS} + 1,"
+                f" {BLOCK_TOKENS}), ' '))"
+            )
+        ).alias("block"),
+    )
+    shared = (
+        blk.groupBy("block")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("block")
+    )
+    audit = (
+        blk.join(shared.withColumn("is_dup", F.lit(1)), "block", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_blocks"),
+        )
+    )
+    return audit.select(
+        "doc_id",
+        "n_blocks",
+        "n_dup_blocks",
+        pround(
+            1.0 - F.col("n_dup_blocks").cast("double") / F.col("n_blocks"), 4
+        ).alias("retained_frac"),
+    )
+
+
+@query(
+    "win_rolling_median",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             LIST_SORT(LIST(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ROLL_MEDIAN_FRAME - 1} PRECEDING
+                        AND CURRENT ROW)) AS vs
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, ts,
+           CAST(LEN(vs) AS INT) AS n_in_frame,
+           ROUND((vs[(LEN(vs) + 1) // 2]
+                  + vs[LEN(vs) // 2 + 1]) / 2.0, 4) AS rolling_median
+    FROM w
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of purchase value per user over the last
+    {ROLL_MEDIAN_FRAME} events — the robust-statistics window Spark has
+    no native aggregate for.
+
+    Portable construction (identical on both engines, so the hash is
+    exact even for even-sized frames): collect the frame into an array,
+    sort it, average the two middle elements. The frame is
+    constant-bounded ({ROLL_MEDIAN_FRAME} rows), so the per-row state
+    is O(1) and the window partitions by user_id — no global sort, one
+    hash shuffle at any scale. For data-sized frames the scale answer
+    is `agg_approx_quantile`'s sketch, already registered.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_MEDIAN_FRAME - 1), W.currentRow)
+    )
+    vs = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(vs)
+    med = (
+        F.element_at(vs, ((n + 1) / 2).cast("int"))
+        + F.element_at(vs, (n / 2).cast("int") + 1)
+    ) / 2.0
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        n.alias("n_in_frame"),
+        pround(med, 4).alias("rolling_median"),
     )
