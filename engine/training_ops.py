@@ -665,3 +665,184 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_in_frame"),
         pround(med, 4).alias("rolling_median"),
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+             MAX_BY(value, ts) AS close_value,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY user_id
+    ), spine AS (
+      SELECT s.user_id, UNNEST(GENERATE_SERIES(s.d0, s.d1)) AS day
+      FROM span s
+    )
+    SELECT sp.user_id, sp.day,
+           CAST(CASE WHEN d.user_id IS NULL THEN 0 ELSE 1 END AS INT)
+             AS is_observed,
+           CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+           ROUND(LAST_VALUE(d.close_value IGNORE NULLS) OVER (
+             PARTITION BY sp.user_id ORDER BY sp.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS filled_value
+    FROM spine sp LEFT JOIN d
+      ON sp.user_id = d.user_id AND sp.day = d.day
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per user, a dense daily spine between
+    first and last activity, left-joined to the observed per-day close
+    value (max_by ts) and forward-filled through the gaps — the
+    resample + LOCF shape every feature pipeline needs before training
+    on event streams.
+
+    The spine derives from a per-user min/max aggregate and
+    ``sequence()`` explode — spine size is span-bounded, never a
+    cartesian with a global calendar. All three steps (day aggregate,
+    spine join, fill window) hash/partition on user_id, so one shuffle
+    partitioning serves the whole plan; the fill is
+    ``last(ignorenulls)`` over a user-partitioned window.
+    """
+    e = load(spark, sf_dir, "events")
+    d = (
+        e.groupBy(
+            "user_id",
+            F.floor(F.col("ts").cast("double") / 86400)
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(
+            F.max_by("value", "ts").alias("close_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    spine = (
+        d.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    joined = spine.join(d, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.col("close_value").isNotNull().cast("int").alias("is_observed"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        pround(F.last("close_value", ignorenulls=True).over(w), 4).alias(
+            "filled_value"
+        ),
+    )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, UNNEST(embedding) AS x FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS INT) AS dim,
+           ROUND(SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4)
+             AS l2_norm,
+           ROUND(MAX(ABS(CAST(x AS DOUBLE))), 4) AS max_abs
+    FROM e GROUP BY vec_id
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``mapInArrow`` API surface (SURVEY.md §2.K family): per-batch
+    zero-copy Arrow RecordBatch processing — one step lower-level than
+    the pandas UDFs, no pandas conversion cost, the right entry point
+    for Arrow-native libraries (polars, vector codecs, tokenizers).
+
+    Computes per-embedding dim / L2 norm / max-|x| in numpy f64 from
+    the Arrow FixedSizeList buffer. Map-only (no shuffle); batch size
+    is governed by spark.sql.execution.arrow.maxRecordsPerBatch, so
+    executor memory stays bounded at any corpus size.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def batch_norms(it):
+        for rb in it:
+            tbl = pa.table(rb)
+            ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+            flat = np.stack(tbl.column("embedding").to_pylist()).astype(
+                np.float64
+            )
+            l2 = np.sqrt((flat * flat).sum(axis=1))
+            mx = np.abs(flat).max(axis=1)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "dim": pa.array(
+                        np.full(len(ids), flat.shape[1], dtype=np.int32)
+                    ),
+                    "l2_norm": pa.array(
+                        np.floor(l2 * 10_000 + 0.5) / 10_000
+                    ),
+                    "max_abs": pa.array(
+                        np.floor(mx * 10_000 + 0.5) / 10_000
+                    ),
+                }
+            )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(
+        batch_norms, schema="vec_id long, dim int, l2_norm double, max_abs double"
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             SUM(l_quantity) AS sum_qty,
+             SUM(l_extendedprice) AS sum_price,
+             AVG(l_discount) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, ROUND(sum_qty, 4) AS value
+    FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, ROUND(sum_price, 4) AS value
+    FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'avg_disc' AS metric, ROUND(avg_disc, 4) AS value
+    FROM wide
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt — the inverse of `agg_pivot`: a wide per-flag
+    pricing aggregate reshaped to long (flag, metric, value) form via
+    ``DataFrame.unpivot`` (Spark's native UNPIVOT, one generate node —
+    not a self-union that would rescan the aggregate N times; the
+    oracle spells the same reshape as UNION ALL over a CTE).
+
+    The aggregate shuffles once on the 3-value flag key; the unpivot
+    itself is map-side row expansion, 3× a 3-row frame.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        pround(F.sum("l_quantity"), 4).alias("sum_qty"),
+        pround(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        pround(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
