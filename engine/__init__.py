@@ -40,6 +40,7 @@ from engine import analytics_ops as analytics_ops  # noqa: F401
 # Round-3 additions: need first-time driver rows, so they precede the
 # proven families but never displace the re-check set above.
 from engine import training_ops as training_ops  # noqa: F401
+from engine import text_source as text_source  # noqa: F401
 
 from engine import llm_ops as llm_ops  # noqa: F401
 from engine import scale_ops as scale_ops  # noqa: F401

@@ -87,43 +87,10 @@ def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _roundtrip_verified(written: DataFrame, back: DataFrame) -> DataFrame:
-    """Materialize the read-back rows and assert they equal what was
-    written (order-insensitive multiset equality, compared driver-side —
-    both sides are tiny aggregates, so two collects beat the four
-    shuffle jobs a symmetric exceptAll would launch).
-
-    Round 1 forced the read with count() but returned the PRE-write
-    aggregate, so a schema-coercion or parse regression in the read path
-    could never fail the check (ADVICE r1). Returning the materialized
-    read-back (and failing loudly on any diff) makes the roundtrip the
-    thing actually under test. Both sides are tiny aggregates, so the
-    comparison is a few rows."""
-    back_rows = back.collect()
-    w = sorted((tuple(r) for r in written.collect()), key=repr)
-    b = sorted((tuple(r) for r in back_rows), key=repr)
-    if w != b:
-        raise AssertionError(
-            f"roundtrip mismatch: wrote {len(w)} rows, read back {len(b)};"
-            f" first diff: {next((x for x in zip(w, b) if x[0] != x[1]), None)}"
-        )
-    return back.sparkSession.createDataFrame(back_rows, schema=back.schema)
-
-
-def _roundtrip_verified_big(written: DataFrame, back: DataFrame) -> DataFrame:
-    """Distributed multiset-equality assertion for roundtrips whose row
-    count makes a driver-side compare inappropriate: symmetric
-    ``exceptAll`` (order-insensitive, duplicate-aware) — the pattern
-    that still works when the roundtrip payload is a full corpus, not a
-    tiny aggregate."""
-    missing = written.exceptAll(back).count()
-    extra = back.exceptAll(written).count()
-    if missing or extra:
-        raise AssertionError(
-            f"roundtrip mismatch: {missing} written rows lost,"
-            f" {extra} rows differ after read-back"
-        )
-    return back
+# Shared with engine.text_source (leaf module, registers nothing).
+from engine.roundtrip import (  # noqa: E402
+    roundtrip_verified as _roundtrip_verified,
+)
 
 
 @query("source_csv_roundtrip")
@@ -1028,41 +995,8 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
-@query("source_text_roundtrip")
-def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Line-oriented text write→read roundtrip (SURVEY.md §2.A family,
-    no-oracle: side-effecting).
-
-    ``spark.read.text`` is the raw-corpus ingestion path an LLM pipeline
-    starts from (one line = one record, schema = a single ``value``
-    string). Documents' text is single-line in the fixtures, so the
-    write→read is lossless; the content assertion compares the full
-    line multisets, and the returned audit aggregate (per-first-char
-    line counts + total chars) keeps the driver-side result small and
-    stable.
-    """
-    out = _SCRATCH / f"text_{uuid.uuid4().hex}"
-    lines = load(spark, sf_dir, "documents").select(
-        F.col("text").alias("value")
-    )
-    try:
-        lines.write.mode("overwrite").text(str(out))
-        back = spark.read.text(str(out))
-        audit = (
-            _roundtrip_verified_big(lines, back)
-            .groupBy(F.substring("value", 1, 1).alias("first_char"))
-            .agg(
-                F.count("*").alias("n_lines"),
-                F.sum(F.length("value")).alias("n_chars"),
-            )
-            .orderBy("first_char")
-        )
-        # Force before the scratch dir is removed: the plan reads `out`.
-        return audit.sparkSession.createDataFrame(
-            audit.collect(), schema=audit.schema
-        )
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+# source_text_roundtrip moved to engine.text_source (registered inside
+# the round-3 correctness window; see that module's docstring).
 
 
 @query(

@@ -1,0 +1,56 @@
+"""Line-oriented text source (SURVEY.md §2.A family).
+
+Lives in its own module (not engine.relational) so it can register
+inside the driver's capped correctness window in round 3 — it was the
+one query left without any driver row after rounds 1-2 (registered past
+both rounds' 50-row cap).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.registry import query
+from engine.roundtrip import SCRATCH, roundtrip_verified_big
+from engine.session import load
+
+
+@query("source_text_roundtrip")
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text write→read roundtrip (SURVEY.md §2.A family,
+    no-oracle: side-effecting).
+
+    ``spark.read.text`` is the raw-corpus ingestion path an LLM pipeline
+    starts from (one line = one record, schema = a single ``value``
+    string). Documents' text is single-line in the fixtures, so the
+    write→read is lossless; the content assertion compares the full
+    line multisets, and the returned audit aggregate (per-first-char
+    line counts + total chars) keeps the driver-side result small and
+    stable.
+    """
+    out = SCRATCH / f"text_{uuid.uuid4().hex}"
+    lines = load(spark, sf_dir, "documents").select(
+        F.col("text").alias("value")
+    )
+    try:
+        lines.write.mode("overwrite").text(str(out))
+        back = spark.read.text(str(out))
+        audit = (
+            roundtrip_verified_big(lines, back)
+            .groupBy(F.substring("value", 1, 1).alias("first_char"))
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum(F.length("value")).alias("n_chars"),
+            )
+            .orderBy("first_char")
+        )
+        # Force before the scratch dir is removed: the plan reads `out`.
+        return audit.sparkSession.createDataFrame(
+            audit.collect(), schema=audit.schema
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
