@@ -142,3 +142,80 @@ def test_stream_stream_join_matches_batch(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
     stream_pairs = spark.table(name).toPandas()
     assert normalize(batch_pairs) == normalize(stream_pairs)
+
+
+def test_foreach_batch_idempotent_merge(spark):
+    """The exactly-once sink pattern: foreachBatch + deterministic
+    overwrite-by-key merge into a parquet target. Replaying the same
+    source (same checkpoint removed → every batch reprocessed) must
+    leave the target identical — the merge is idempotent on
+    (window, event_type), so duplicate delivery cannot double-count.
+    This is the production shape for streaming upserts without a table
+    format: micro-batch → keyed overwrite, driver-coordinated.
+    """
+    from pyspark.sql import functions as F
+
+    name = f"fb_{uuid.uuid4().hex[:8]}"
+    target = _SCRATCH / f"tgt_{name}"
+    state: dict[str, dict] = {}
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        # Keyed overwrite into a driver-held dict stand-in for a keyed
+        # table write (same idempotence contract as MERGE on the key).
+        for r in batch_df.collect():
+            key = f"{r['window'].start.isoformat()}|{r['event_type']}"
+            state[key] = {"n": r["n_events"], "sum": r["sum_value"]}
+
+    def run_once() -> None:
+        ckpt = _SCRATCH / f"ckpt_{name}_{uuid.uuid4().hex[:6]}"
+        agg = (
+            events_stream(spark, SF_DIR)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "6 hours"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+        q = (
+            agg.writeStream.foreachBatch(merge_batch)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    try:
+        run_once()
+        first = dict(state)
+        assert first, "foreachBatch sink received no batches"
+        # Fresh checkpoint → full replay → duplicate delivery of every
+        # batch. The keyed merge must converge to the same state.
+        run_once()
+        assert state == first, "replayed merge diverged (not idempotent)"
+        # And the merged state must equal the batch-mode aggregate.
+        batch = (
+            load(spark, SF_DIR, "events")
+            .groupBy(F.window("ts", "6 hours"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+        expect = {
+            f"{r['window'].start.isoformat()}|{r['event_type']}": {
+                "n": r["n_events"],
+                "sum": r["sum_value"],
+            }
+            for r in batch.collect()
+        }
+        assert {k: v["n"] for k, v in state.items()} == {
+            k: v["n"] for k, v in expect.items()
+        }
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
