@@ -101,13 +101,22 @@ def main() -> None:
     spark = get_spark(app_name="engine-bench")
     warmup(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for qid, fn in sorted(engine.QUERIES.items()):
-        if only and qid not in only:
-            continue
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[qid] = round(time.perf_counter() - t0, 3)
+    # Median-of-N per query (SPARK_GRAFT_BENCH_REPS, default 1): this
+    # host swings 1.5-2× run-to-run (BASELINE.md), so medians are the
+    # stable signal when a regression needs confirming. Reps interleave
+    # whole passes (not back-to-back per query) so cache-warmth bias is
+    # shared evenly.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    ids = [q for q in sorted(engine.QUERIES) if not only or q in only]
+    samples: dict[str, list[float]] = {q: [] for q in ids}
+    for _ in range(reps):
+        for qid in ids:
+            t0 = time.perf_counter()
+            force(engine.QUERIES[qid](spark, sf_dir))
+            samples[qid].append(time.perf_counter() - t0)
+    timings: dict[str, float] = {
+        q: round(sorted(s)[len(s) // 2], 3) for q, s in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
     full = {
