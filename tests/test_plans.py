@@ -258,6 +258,16 @@ def test_shard_manifest_single_shuffle(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_rolling_median_filter_pushed_and_partitioned(spark):
+    """The purchase pre-filter must reach the events scan as a pushed
+    filter (19/20ths of the stream pruned before the window), and the
+    window must partition on user_id — never a global sort."""
+    p = plan(spark, "win_rolling_median")
+    pushed = p.split("PushedFilters:")[1].split("]")[0]
+    assert "event_type" in pushed, "purchase filter not pushed to scan"
+    assert "windowspecdefinition(user_id" in p, "window not user-partitioned"
+
+
 def test_no_scale_red_flags_any_query(spark):
     """Sweep every registered plan for patterns that break at scale:
     cartesian products, nested-loop joins, and data-sized global (single-
