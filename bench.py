@@ -53,6 +53,11 @@ def warmup(spark, sf_dir: str) -> None:
             yield pdf
 
     force(two.mapInPandas(_noop_pd, schema="x long"))
+
+    def _noop_arrow(it):
+        yield from it
+
+    force(two.mapInArrow(_noop_arrow, schema="x long"))
     force(two.select(udf(lambda x: x, "long")("x").alias("x")))
     force(two.select(pandas_udf(lambda s: s, "long")("x").alias("x")))
     force(
