@@ -51,6 +51,12 @@ from engine import relational as relational  # noqa: F401
 from engine import functions as functions  # noqa: F401
 from engine import windows as windows  # noqa: F401
 
+# Round-3 late additions: registered past this round's correctness
+# window on purpose (the 50-row cap is spoken for) — they are round-4
+# priority seeds, oracled and locally differential-tested now.
+from engine import tpch_ext as tpch_ext  # noqa: F401
+from engine import curation2 as curation2  # noqa: F401
+
 # Deferred (callable) oracles compose other registered oracles; resolve
 # them now that every module has imported.
 registry.resolve_oracles()
