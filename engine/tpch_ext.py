@@ -61,14 +61,26 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The EXISTS compiles to a left-semi hash join on orderkey with the
     lateness predicate as a join residual; the quarter filter is pushed
-    into the orders scan, so the semi-join probes only one quarter of
-    the fact table. Two columns read from each side at 100 TB.
+    into the orders scan, and the lineitem side carries the *derived*
+    pushable bound shipdate > quarter_start + {Q4_LATE_DAYS}d (implied
+    by the correlated predicate: a line late for a quarter order must
+    ship after the quarter opened plus the lateness window), so BOTH
+    fact scans prune before the join. Two columns read from each side
+    at 100 TB.
     """
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit(Q4_Q_START).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(Q4_Q_END).cast("timestamp"))
     )
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .filter(
+            F.col("l_shipdate")
+            > F.lit(Q4_Q_START).cast("timestamp")
+            + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAY")
+        )
+    )
     late = (
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAY")
