@@ -268,6 +268,31 @@ def test_rolling_median_filter_pushed_and_partitioned(spark):
     assert "windowspecdefinition(user_id" in p, "window not user-partitioned"
 
 
+def test_q6_three_predicates_pushed_two_columns_scanned(spark):
+    """Q6 is the pure pushdown benchmark: all three predicates must
+    reach the lineitem scan and the read schema must carry only the
+    filter/aggregate columns."""
+    p = plan(spark, "q6_forecast_revenue")
+    pushed = p.split("PushedFilters:")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan"
+    schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in schema
+    assert "l_orderkey" not in schema, "scan reads unneeded columns"
+
+
+def test_q4_both_fact_scans_pruned(spark):
+    """Q4's derived lineitem bound must be pushed — without it the semi
+    join probes the full fact table (the round-3 7.6s→1.4s fix)."""
+    p = plan(spark, "q4_order_priority")
+    li_scan = p.split("lineitem.parquet]")[1]
+    pushed = li_scan.split("PushedFilters:")[1].split("]")[0]
+    assert "l_shipdate" in pushed, "derived shipdate bound not pushed"
+    o_scan = p.split("orders.parquet]")[1]
+    pushed_o = o_scan.split("PushedFilters:")[1].split("]")[0]
+    assert "o_orderdate" in pushed_o
+
+
 def test_no_scale_red_flags_any_query(spark):
     """Sweep every registered plan for patterns that break at scale:
     cartesian products, nested-loop joins, and data-sized global (single-
