@@ -303,6 +303,9 @@ def test_no_scale_red_flags_any_query(spark):
         "source_json_roundtrip",
         "sink_partitioned_parquet",
         "stream_watermark_design",
+        # runs a full streaming replay + merge before returning its
+        # (driver-built, plan-less) result frame
+        "stream_foreach_batch_merge",
     }
     # BroadcastNestedLoopJoin is correct when the broadcast side is
     # constant-bounded: a 1-row corpus-count, a ≤10-row probe set, a
