@@ -57,6 +57,7 @@ from engine import windows as windows  # noqa: F401
 from engine import tpch_ext as tpch_ext  # noqa: F401
 from engine import curation2 as curation2  # noqa: F401
 from engine import streaming_ext as streaming_ext  # noqa: F401
+from engine import windows_ext as windows_ext  # noqa: F401
 
 # Deferred (callable) oracles compose other registered oracles; resolve
 # them now that every module has imported.
