@@ -744,8 +744,9 @@ POSTINGS_CAP = 20
     )
     SELECT token,
            COUNT(*) AS df,
-           LIST_SLICE(LIST(doc_id ORDER BY doc_id), 1, {POSTINGS_CAP})
-             AS postings_head
+           ARRAY_TO_STRING(
+             LIST_SLICE(LIST(doc_id ORDER BY doc_id), 1, {POSTINGS_CAP}),
+             ',') AS postings_head
     FROM tok GROUP BY token
     """,
 )
@@ -768,8 +769,15 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     return tok.groupBy("token").agg(
         F.count("*").alias("df"),
-        F.slice(
-            F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP
+        # Joined to a string: the postings are the ONLY complex-typed
+        # output column in the registry, and the driver's value-hash
+        # canonicalization is outside our control — a flat string
+        # carries identical information with zero hasher risk.
+        F.array_join(
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP
+            ),
+            ",",
         ).alias("postings_head"),
     )
 
