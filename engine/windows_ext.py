@@ -145,3 +145,99 @@ def udf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_tokens").cast("bigint").alias("total_tokens"),
         pround(F.sum("sum_norm") / F.sum("n_pairs"), 4).alias("avg_l2_norm"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type,
+           COUNT(*) AS n_transitions,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY from_type), 4)
+             AS p_transition
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    each (from → to) event-type pair, the transition count and the
+    row-normalized probability — the session-flow model behind "what do
+    users do after X" product questions.
+
+    One lead() window per user (unique (ts, event_id) order), then a
+    grouped count; the row normalization is a window over the
+    aggregated 5×5 transition grid, bounded at any scale. The stream
+    shuffles once on user_id; the grid aggregate is map-side combined.
+    """
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    total = F.sum("n_transitions").over(W.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        pround(F.col("n_transitions").cast("double") / total, 4).alias(
+            "p_transition"
+        ),
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status
+      FROM orders
+    ), r AS (
+      SELECT DISTINCT NULLIF(o_orderstatus, 'P') AS status FROM orders
+    )
+    SELECT COALESCE(l.status, '<null>') AS status_key,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(r.status) AS BIGINT) AS n_plain_matched
+    FROM l JOIN r ON l.status IS NOT DISTINCT FROM r.status
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other, unlike plain `=` which drops them — the
+    semantics gap that silently loses rows when join keys are nullable.
+    Fixtures carry no NULLs (FIXTURES.md invariant 3), so the nullable
+    key is manufactured with NULLIF; the n_plain_matched column counts
+    what a plain join would have kept, making the dropped-rows delta
+    visible in the result itself.
+
+    Catalyst hashes `<=>` like any equi-key (null-safe comparisons are
+    valid hash keys), so this stays a hash join — no nested-loop
+    fallback at scale.
+    """
+    o = load(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey", F.nullif("o_orderstatus", F.lit("P")).alias("status")
+    )
+    right = (
+        o.select(F.nullif("o_orderstatus", F.lit("P")).alias("r_status"))
+        .distinct()
+    )
+    return (
+        left.join(right, left["status"].eqNullSafe(right["r_status"]))
+        .groupBy(F.coalesce("status", F.lit("<null>")).alias("status_key"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count("r_status").cast("bigint").alias("n_plain_matched"),
+        )
+    )
