@@ -36,7 +36,8 @@ QUANT_LEVELS = 255  # int8-style scalar quantization
            ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 4) AS zscore
     FROM events e JOIN stats s ON e.user_id = s.user_id
     WHERE s.n_events >= 2
-      AND ABS((e.value - s.mu) / NULLIF(s.sigma, 0)) > {Z_THRESHOLD}
+      AND ABS(ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 4))
+            > {Z_THRESHOLD}
     """,
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,7 +49,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge under the hood) joined back to the stream on the same key —
     the partitioning is reused, so this is one shuffle + one co-hashed
     join at any scale. σ=0 users (constant values) are excluded via
-    NULLIF rather than dividing by zero.
+    NULLIF rather than dividing by zero. The |z| > {Z_THRESHOLD} gate is
+    applied to the ROUNDED z (4 dp, identically on both engines): raw
+    AVG/STDDEV doubles differ across summation orders, so an unrounded
+    threshold can flip membership of a value within an ulp of 2.0 —
+    the same determinism rule q15 uses (SURVEY.md §7.5).
     """
     e = load(spark, sf_dir, "events")
     stats = e.groupBy(F.col("user_id").alias("uid")).agg(
@@ -61,7 +66,10 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         e.join(stats, e["user_id"] == stats["uid"])
-        .filter((F.col("n_events") >= 2) & (F.abs(z) > Z_THRESHOLD))
+        .filter(
+            (F.col("n_events") >= 2)
+            & (F.abs(pround(z, 4)) > Z_THRESHOLD)
+        )
         .select(
             "event_id",
             "user_id",

@@ -48,21 +48,43 @@ def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge must equal one batch pass.
 
     Scale shape: the streaming aggregate carries watermark-bounded
-    state; the merge writes only changed keys per micro-batch
-    (update output mode). The keyed store here is driver-held (window
-    × event_type is metadata-bounded); a production target would be a
-    keyed table with the same overwrite contract.
+    state; the merge writes only changed keys per micro-batch (update
+    output mode) via DYNAMIC PARTITION OVERWRITE into a parquet store
+    partitioned by the merge key — each micro-batch replaces exactly
+    the partitions (keys) it carries and leaves the rest, the same
+    idempotent keyed-overwrite contract a MERGE INTO gives on a table
+    format. Rows never leave the executors (no collect; the driver
+    holds no state), so the sink works unchanged when the key space or
+    batch volume grows 100×.
     """
-    merged: dict[tuple, tuple] = {}
+    run = uuid.uuid4().hex[:8]
+    ckpt = SCRATCH / f"fbm_{run}"
+    store = SCRATCH / f"fbm_store_{run}"
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        for r in batch_df.collect():
-            merged[(r["window"].start, r["event_type"])] = (
-                r["n_events"],
-                r["sum_value"],
+        (
+            batch_df.select(
+                F.col("window").start.alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
             )
+            # Partition key = the merge key, encoded as a single string
+            # column so one directory <-> one (window, event_type) key.
+            .withColumn(
+                "mkey",
+                F.concat_ws(
+                    "_",
+                    F.unix_timestamp("window_start").cast("string"),
+                    "event_type",
+                ),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("mkey")
+            .parquet(str(store))
+        )
 
-    ckpt = SCRATCH / f"fbm_{uuid.uuid4().hex[:8]}"
     agg = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -80,21 +102,20 @@ def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(180)
+        # awaitTermination returns False on timeout — a partially merged
+        # store is a silently wrong answer, so fail loudly instead.
+        if not q.awaitTermination(180):
+            raise TimeoutError(
+                "stream_foreach_batch_merge: replay did not complete"
+                " within 180s"
+            )
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
 
-    rows = [
-        (ws, et, int(n), float(sv))
-        for (ws, et), (n, sv) in sorted(merged.items())
-    ]
-    out = spark.createDataFrame(
-        rows,
-        "window_start timestamp, event_type string,"
-        " n_events long, sum_value double",
-    )
-    return out.select(
+    # The store dir stays (uuid-named scratch, same lifecycle as the
+    # csv/json/orc roundtrip sinks) so the returned plan reads it lazily.
+    return spark.read.parquet(str(store)).select(
         "window_start",
         "event_type",
         "n_events",

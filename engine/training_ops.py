@@ -104,7 +104,12 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
     )
-    bigrams = base.select(
+    # sequence(0, -1) reverses (step defaults to -1 when start > stop),
+    # so a 1-token doc would index toks[-1] and crash under ANSI; the
+    # size guard drops it BEFORE the transform evaluates, matching the
+    # oracle (DuckDB GENERATE_SERIES(0, -1) is empty -> doc drops at the
+    # inner join) and keeping the n_tokens - 1 divisor >= 1.
+    bigrams = base.filter(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -571,13 +576,19 @@ def llm_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, then a left join back — at 100 TB the join key is the block
     string (hashable to 16 bytes with identical semantics), and both
     shuffles are map-side-combinable. Documents shorter than one block
-    contribute zero blocks and drop from the audit (matching the
-    oracle's GENERATE_SERIES emptiness).
+    are filtered out before the block transform (see inline note), so
+    they contribute zero blocks and drop from the audit, matching the
+    oracle's GENERATE_SERIES emptiness.
     """
     d = load(spark, sf_dir, "documents").withColumn(
         "toks", F.split("text", " ")
     )
-    blk = d.select(
+    # sequence(1, 0) reverses under Spark's default negative step, so a
+    # doc shorter than one block would hit slice() with a reversed index
+    # and crash under ANSI; filtering size >= BLOCK_TOKENS first drops
+    # such docs before the transform evaluates — the same emptiness the
+    # oracle's GENERATE_SERIES(1, 0) produces in DuckDB.
+    blk = d.filter(F.size("toks") >= BLOCK_TOKENS).select(
         "doc_id",
         F.explode(
             F.expr(
