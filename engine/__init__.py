@@ -22,42 +22,42 @@ from engine import registry as registry  # noqa: F401
 # register first; families already proven in a prior round register last
 # and absorb the truncation.
 #
-# Round-3 priority (queries with no green row after r01 ∪ r02):
-#   ext_ops    — all 17 round-2 additions (registered past the r02 cap)
-#   streaming  — 4 never checked + stream_sliding/session failed r02 on
-#                the events.ts encoding change (fixed in engine.session)
-#   udx        — udf_apply_in_pandas / udf_map_in_pandas failed r02 (same)
-#   analytics  — events_funnel failed r02 (same)
-# Proven families (every query green in r01 or r02) follow. Inter-module
-# imports stay within this order: ext_ops uses the leaf engine.splits (not
-# llm_ops); scale_ops/pipeline_ops pull in llm_ops, which registers llm_ops
-# immediately before them either way.
+# Round-4 priority (queries with no driver row after r01 ∪ r02 ∪ r03
+# — the 14 round-3 late additions — plus this round's 10 new ops):
+#   tpch_ext      (5)  q4/q6/q15/q17/q20        — never driver-checked
+#   curation2     (4)  zscore/card/quant/semdedup — never driver-checked
+#   streaming_ext (1)  foreach_batch_merge       — never driver-checked
+#   windows_ext   (4)  range/cogroup/markov/nsafe — never driver-checked
+#   tpch4         (7)  q2/q8/q11/q12/q13/q16/q21 — NEW this round
+#   surface4      (3)  avro/grouping_sets_df/decimal — NEW this round
+# = 24 of the 50-row window. The remainder re-checks families touched
+# this round (training_ops' sequence guards, llm_ops' and pipeline_ops'
+# witness caps — llm_ngram_jaccard registers first in pipeline_ops, at
+# row ~47) and absorbs truncation with already-proven queries.
+from engine import tpch_ext as tpch_ext  # noqa: F401
+from engine import curation2 as curation2  # noqa: F401
+from engine import streaming_ext as streaming_ext  # noqa: F401
+from engine import windows_ext as windows_ext  # noqa: F401
+from engine import tpch4 as tpch4  # noqa: F401
+from engine import surface4 as surface4  # noqa: F401
+
+# Touched-this-round families (re-check within the window):
+from engine import training_ops as training_ops  # noqa: F401
+from engine import llm_ops as llm_ops  # noqa: F401
+from engine import pipeline_ops as pipeline_ops  # noqa: F401
+
+# Proven families (green in a prior round) absorb the truncation.
 from engine import ext_ops as ext_ops  # noqa: F401
 from engine import streaming as streaming  # noqa: F401
 from engine import udx as udx  # noqa: F401
 from engine import analytics_ops as analytics_ops  # noqa: F401
-
-# Round-3 additions: need first-time driver rows, so they precede the
-# proven families but never displace the re-check set above.
-from engine import training_ops as training_ops  # noqa: F401
 from engine import text_source as text_source  # noqa: F401
-
-from engine import llm_ops as llm_ops  # noqa: F401
 from engine import scale_ops as scale_ops  # noqa: F401
-from engine import pipeline_ops as pipeline_ops  # noqa: F401
 from engine import multimodal as multimodal  # noqa: F401
 from engine import composite as composite  # noqa: F401
 from engine import relational as relational  # noqa: F401
 from engine import functions as functions  # noqa: F401
 from engine import windows as windows  # noqa: F401
-
-# Round-3 late additions: registered past this round's correctness
-# window on purpose (the 50-row cap is spoken for) — they are round-4
-# priority seeds, oracled and locally differential-tested now.
-from engine import tpch_ext as tpch_ext  # noqa: F401
-from engine import curation2 as curation2  # noqa: F401
-from engine import streaming_ext as streaming_ext  # noqa: F401
-from engine import windows_ext as windows_ext  # noqa: F401
 
 # Deferred (callable) oracles compose other registered oracles; resolve
 # them now that every module has imported.

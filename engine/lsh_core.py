@@ -1,0 +1,207 @@
+"""MinHash-LSH banding core — a LEAF module (registers nothing), so
+the word-token (engine.scale_ops) and char-shingle (engine.pipeline_ops)
+near-dup queries can share the candidate-generation machinery without
+dragging each other's query registrations forward (the driver's capped
+correctness sweep walks registration order; see engine/__init__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from engine.det import pround
+from engine.llm_ops import (
+    N_MINHASH,
+    bitset_intersection,
+    minhash_hashes,
+    nondet_zero,
+    packed_token_sets,
+)
+
+N_BANDS = 4  # MinHash-LSH: 4 bands × 4 rows over the 16-perm signature
+
+_TOK_SQL = """
+      SELECT DISTINCT doc_id, lang, token FROM (
+        SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup (scale path of llm_jaccard_neardup)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sig(tok: DataFrame) -> DataFrame:
+    # Permutation hashes precomputed per distinct token (vocabulary ≪
+    # occurrences), broadcast back onto occurrence rows — see
+    # engine.llm_ops.minhash_hashes.
+    joined = tok.join(F.broadcast(minhash_hashes(tok)), "token")
+    return joined.groupBy("doc_id", "lang").agg(
+        *[F.min(f"p{i:02d}").alias(f"h{i:02d}") for i in range(N_MINHASH)]
+    )
+
+
+def lsh_oracle(tok_sql: str = _TOK_SQL, threshold: float = 0.8) -> str:
+    """DuckDB mirror of :func:`lsh_neardup_pairs` over any (doc_id, lang,
+    token) CTE — the token form and the char-shingle form share it."""
+    mins = ",\n             ".join(
+        f"MIN(('0x' || SUBSTRING(MD5(token || '#{i}'), 1, 15))::BIGINT)"
+        f" AS h{i:02d}"
+        for i in range(N_MINHASH)
+    )
+    per_band = N_MINHASH // N_BANDS
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, lang, {b} AS band, MD5(CONCAT_WS('|', {hs})) AS bv FROM sig".format(
+            b=b,
+            hs=", ".join(
+                f"h{i:02d}" for i in range(b * per_band, (b + 1) * per_band)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH tok AS ({tok_sql}),
+    sig AS (
+      SELECT doc_id, lang,
+             {mins}
+      FROM tok GROUP BY doc_id, lang
+    ), bands AS (
+{band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common), 4)
+             AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common)
+          >= {threshold}
+    """
+
+
+def lsh_neardup_pairs(
+    tok: DataFrame, threshold: float, materialize_tok: bool = False
+) -> DataFrame:
+    """MinHash-LSH banded near-dup over any (doc_id, lang, token) set:
+    minhash (16 perms) → 4 bands × 4 rows → band-hash bucket join →
+    exact-Jaccard bitset verify of candidates only.
+
+    Candidate generation is O(Σ bucket²) instead of all-pairs; the
+    banding S-curve gives catch probability 1-(1-J^4)^4 at Jaccard J
+    (≈ 0.89 at J=0.8; a production run raises perms/bands for recall —
+    parameters are module constants). Shared by the word-token and
+    char-shingle near-dup queries.
+
+    The verify stage packs bitsets for *candidate docs only* (semi-join
+    before packed_token_sets): at 100 TB the candidate set is orders of
+    magnitude smaller than the corpus, so packing everything — as round 1
+    did — would dominate the whole pipeline. ``materialize_tok``
+    checkpoints the token rows first; pass True when producing them is
+    expensive (char-shingle expansion) since they are scanned by both
+    the signature build and the verify pack."""
+    if materialize_tok:
+        tok = tok.localCheckpoint(eager=True)
+    sig = _minhash_sig(tok)
+    per_band = N_MINHASH // N_BANDS
+    # One explode over an array of (band, band-hash) structs — a 4-way
+    # union here would recompute the signature aggregate per branch; the
+    # explode computes it once, and the identical subplans on the two
+    # sides of the self-join reuse one shuffle (ReusedExchange).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            f"h{i:02d}"
+                            for i in range(b * per_band, (b + 1) * per_band)
+                        ],
+                    )
+                ).alias("bv"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "lang", F.explode(band_structs).alias("s")
+    ).select("doc_id", "lang", "s.band", "s.bv")
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # Exact-Jaccard verify on candidates only, via the packed-bitset
+    # representation (engine.llm_ops.packed_token_sets) — two broadcast
+    # joins + integer popcounts, instead of re-exploding the token table
+    # three times (ta/tb/sizes) through shuffled joins. Only candidate
+    # docs are packed (left-semi prune of the token rows first).
+    cand = cand.localCheckpoint(eager=True)
+    if cand.isEmpty():
+        return tok.sparkSession.createDataFrame(
+            [], "doc_a long, doc_b long, jaccard double"
+        )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    packed = packed_token_sets(
+        tok.join(cand_ids, "doc_id", "left_semi")
+    ).localCheckpoint(eager=True)
+    n_words = len(packed.select("mask").first()[0])
+    pa = packed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("mask").alias("ma"),
+        F.col("n_tok").alias("na"),
+    )
+    pb = packed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("mask").alias("mb"),
+        F.col("n_tok").alias("nb"),
+    )
+    inter = (
+        cand.join(F.broadcast(pa), "doc_a")
+        .join(F.broadcast(pb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            (bitset_intersection("ma", "mb", n_words) + nondet_zero())
+            .alias("n_common"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return inter.filter(jac >= threshold).select(
+        "doc_a", "doc_b", pround(jac, 4).alias("jaccard")
+    )
+
+

@@ -41,7 +41,7 @@ from engine.llm_ops import (
     tokens,
 )
 from engine.registry import query
-from engine.scale_ops import lsh_neardup_pairs, lsh_oracle
+from engine.lsh_core import lsh_neardup_pairs, lsh_oracle
 from engine.session import load
 
 NGRAM = 5  # character shingle width

@@ -19,7 +19,7 @@ from engine.det import pround
 from engine.registry import query
 from engine.roundtrip import SCRATCH
 from engine.session import load
-from engine.streaming import events_stream
+from engine.stream_source import events_stream
 
 FB_WINDOW_SECS = 6 * 3600
 

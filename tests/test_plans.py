@@ -324,6 +324,9 @@ def test_no_scale_red_flags_any_query(spark):
                # 1-row global average-balance aggregate broadcast into
                # the customer filter
                "q22_dormant_customers",
+               # 1-row grand-total threshold aggregate broadcast into
+               # the per-part filter
+               "q11_important_stock",
                # 1-row tercile-boundary aggregate (b1, b2) broadcast
                # into the bucketing projection
                "llm_quality_buckets",
