@@ -22,6 +22,7 @@ from engine.session import load
 from engine.stream_source import events_stream
 
 FB_WINDOW_SECS = 6 * 3600
+FB_BUCKETS = 16  # hash buckets of the (window, event_type) merge key
 
 
 @query(
@@ -48,40 +49,53 @@ def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge must equal one batch pass.
 
     Scale shape: the streaming aggregate carries watermark-bounded
-    state; the merge writes only changed keys per micro-batch (update
-    output mode) via DYNAMIC PARTITION OVERWRITE into a parquet store
-    partitioned by the merge key — each micro-batch replaces exactly
-    the partitions (keys) it carries and leaves the rest, the same
-    idempotent keyed-overwrite contract a MERGE INTO gives on a table
-    format. Rows never leave the executors (no collect; the driver
-    holds no state), so the sink works unchanged when the key space or
-    batch volume grows 100×.
+    state; the merge is MERGE-ON-WRITE into a parquet store partitioned
+    by a hash BUCKET of the merge key ({FB_BUCKETS} buckets): each
+    micro-batch prunes the store to the buckets it touches, anti-joins
+    the surviving old keys, unions in the new rows, and dynamically
+    overwrites just those bucket partitions — the idempotent contract a
+    MERGE INTO gives on a table format, emulated on plain parquet.
+    Rows never leave the executors (the only driver hop is the ≤
+    {FB_BUCKETS}-value affected-bucket list — partition-pruning
+    metadata, not data), so the sink works unchanged when the key space
+    or batch volume grows 100×; one dir per bucket keeps the committer
+    cost O(buckets), not O(keys) (a full-key dir layout paid ~20 ms ×
+    600 key-dirs per batch here).
     """
     run = uuid.uuid4().hex[:8]
     ckpt = SCRATCH / f"fbm_{run}"
     store = SCRATCH / f"fbm_store_{run}"
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.select(
+            F.col("window").start.alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        ).withColumn(
+            "bkt",
+            F.pmod(F.hash("window_start", "event_type"), F.lit(FB_BUCKETS)),
+        )
+        if store.exists():
+            touched = [
+                r["bkt"] for r in new.select("bkt").distinct().collect()
+            ]
+            old = (
+                spark.read.parquet(str(store))
+                # Partition pruning: only the touched buckets are read.
+                .filter(F.col("bkt").isin(touched))
+                .join(new, ["window_start", "event_type"], "left_anti")
+            )
+            new = new.unionByName(old)
+        # Materialize before overwriting the dirs the plan reads from
+        # (bounded: ≤ windows × event_types rows), then one write task —
+        # a data-sized sink would repartition("bkt") instead.
         (
-            batch_df.select(
-                F.col("window").start.alias("window_start"),
-                "event_type",
-                "n_events",
-                "sum_value",
-            )
-            # Partition key = the merge key, encoded as a single string
-            # column so one directory <-> one (window, event_type) key.
-            .withColumn(
-                "mkey",
-                F.concat_ws(
-                    "_",
-                    F.unix_timestamp("window_start").cast("string"),
-                    "event_type",
-                ),
-            )
+            new.localCheckpoint(eager=True)
+            .coalesce(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("mkey")
+            .partitionBy("bkt")
             .parquet(str(store))
         )
 

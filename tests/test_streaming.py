@@ -78,9 +78,15 @@ def test_stateful_user_state_matches_batch(spark):
 
 
 def test_stream_dedup_counts(spark):
-    """Watermarked streaming dropDuplicates passes each event_id once."""
+    """Watermarked streaming dropDuplicates must reproduce the batch
+    twin EXACTLY: the deduped stream, re-aggregated per event_type,
+    frame-equals the registered ``stream_dedup`` batch query (VERDICT
+    r3 next #5 — count-only equivalence could mask a dedup that keeps
+    the wrong duplicate or drops extra rows)."""
+    import engine
     from engine.streaming import dedup_stream
 
+    batch = engine.QUERIES["stream_dedup"](spark, SF_DIR).toPandas()
     n_batch = load(spark, SF_DIR, "events").dropDuplicates(["event_id"]).count()
 
     name = f"dedup_{uuid.uuid4().hex[:8]}"
@@ -100,6 +106,14 @@ def test_stream_dedup_counts(spark):
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     assert spark.table(name).count() == n_batch
+    stream_agg = (
+        spark.table(name)
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n_unique")
+        .toPandas()
+    )
+    assert normalize(batch) == normalize(stream_agg)
 
 
 def test_stream_stream_join_matches_batch(spark):
