@@ -1,0 +1,333 @@
+"""Round-5 seed operators: distribution windows, RFM segmentation, a
+bigram-LM quality signal, cosine range search, and per-language stopword
+profiles — registered PAST the round-4 correctness window (the 50-row
+cap is spoken for; see engine/__init__), fully oracled and in the local
+differential suite immediately, to rotate first next round (the same
+seeding pattern tpch_ext/curation2 used in round 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from engine.det import pround
+from engine.llm_ops import _dot, _sq_norm
+from engine.registry import query
+from engine.session import load
+
+NTILE_BUCKETS = 4
+RFM_R_DAYS = (1, 3)  # recency <= d3 -> 3, <= d2 -> 2, else 1
+RFM_F_COUNTS = (16, 10)
+RFM_M_VALUES = (700.0, 400.0)
+BIGRAM_TOPK_DOCS = 0  # (reserved)
+ANN_RANGE_T = 0.2
+ANN_RANGE_PROBES = 5
+STOPWORD_TOPK = 5
+
+
+@query(
+    "win_ntile_cume",
+    oracle=f"""
+    SELECT event_id, event_type,
+           ROUND(value, 2) AS value,
+           CAST(NTILE({NTILE_BUCKETS}) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+    FROM events
+    WHERE event_type IN ('purchase', 'refund')
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile/percent_rank/cume_dist per
+    event_type over value (SURVEY.md §2.D family; the rank/lag/frame
+    forms are covered, this adds the relative-position trio used for
+    quantile bucketing without a sketch).
+
+    One hash shuffle on the partition key; the (value, event_id)
+    compound order is UNIQUE, so every relative-position value is a
+    ratio of exact integers — deterministic across engines (§7.5: ties
+    under a non-unique order would make ntile boundaries an engine
+    choice).
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "refund")
+    )
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        pround(F.col("value"), 2).alias("value"),
+        F.ntile(NTILE_BUCKETS).over(w).cast("int").alias("quartile"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+@query(
+    "events_rfm",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT CAST(MAX(ts) AS DATE) AS a FROM events
+    ), per_user AS (
+      SELECT user_id,
+             DATE_DIFF('day', CAST(MAX(ts) AS DATE),
+                       (SELECT a FROM anchor)) AS recency_days,
+             COUNT(*) AS frequency,
+             ROUND(SUM(value), 2) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id, CAST(recency_days AS INT) AS recency_days,
+           frequency, monetary,
+           CAST(CASE WHEN recency_days <= {RFM_R_DAYS[0]} THEN 3
+                     WHEN recency_days <= {RFM_R_DAYS[1]} THEN 2
+                     ELSE 1 END AS INT) AS r_score,
+           CAST(CASE WHEN frequency >= {RFM_F_COUNTS[0]} THEN 3
+                     WHEN frequency >= {RFM_F_COUNTS[1]} THEN 2
+                     ELSE 1 END AS INT) AS f_score,
+           CAST(CASE WHEN monetary >= {RFM_M_VALUES[0]} THEN 3
+                     WHEN monetary >= {RFM_M_VALUES[1]} THEN 2
+                     ELSE 1 END AS INT) AS m_score
+    FROM per_user
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    the purchase stream — the classic analytics rollup a metrics
+    pipeline derives per user.
+
+    One user_id aggregate; the anchor date (corpus max ts) is a 1-row
+    broadcast. Scores use FIXED thresholds, not per-run quantiles, so
+    segment membership is stable as data grows (quantile-based scores
+    are the registered window ops' job). The monetary threshold is
+    compared on the 2-dp-ROUNDED sum on both engines — raw
+    double-summation order must not decide a boundary (§7.5).
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    anchor = load(spark, sf_dir, "events").agg(
+        F.max(F.col("ts").cast("date")).alias("a")
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+            F.count("*").alias("frequency"),
+            pround(F.sum("value"), 2).alias("monetary"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("a"), F.col("last_d"))
+            .cast("int")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r, f_, m = (
+        F.col("recency_days"),
+        F.col("frequency"),
+        F.col("monetary"),
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(r <= RFM_R_DAYS[0], 3)
+        .when(r <= RFM_R_DAYS[1], 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("r_score"),
+        F.when(f_ >= RFM_F_COUNTS[0], 3)
+        .when(f_ >= RFM_F_COUNTS[1], 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("f_score"),
+        F.when(m >= RFM_M_VALUES[0], 3)
+        .when(m >= RFM_M_VALUES[1], 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("m_score"),
+    )
+
+
+@query(
+    "llm_bigram_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i
+            FROM toks WHERE LEN(t) >= 2)
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2
+    ), uc AS (
+      SELECT w1, COUNT(*) AS cu FROM bg GROUP BY 1
+    ), v AS (
+      SELECT COUNT(DISTINCT w2) AS vocab FROM bg
+    ), scored AS (
+      SELECT g.doc_id,
+             -LN((bc.cb + 1.0) / (uc.cu + v.vocab)) AS s
+      FROM bg g
+      JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+      JOIN uc ON g.w1 = uc.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+           ROUND(AVG(s), 4) AS avg_surprisal,
+           ROUND(MAX(s), 4) AS max_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per document with add-1 smoothing — the
+    second-order companion of llm_unigram_surprisal (a closer
+    perplexity proxy: fluent text has predictable CONTINUATIONS, not
+    just frequent words).
+
+    Corpus bigram counts and left-context counts are both derived from
+    ONE exploded bigram pass (guarded to docs with ≥ 2 tokens — the
+    sequence(0,-1) reversal rule, engine/training_ops) and broadcast
+    back; the per-doc score is then one doc_id shuffle. At 100 TB the
+    bigram table can exceed broadcast budget — the plan degrades to a
+    sort-merge join on (w1, w2) with no logic change.
+    """
+    d = load(spark, sf_dir, "documents").withColumn(
+        "t", F.split("text", " ")
+    )
+    bg = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    uc = bg.groupBy(F.col("w1").alias("u1")).agg(
+        F.count("*").alias("cu")
+    )
+    v = bg.agg(F.count_distinct("w2").alias("vocab"))
+    s = -F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("vocab")))
+    scored = (
+        bg.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uc), F.col("w1") == F.col("u1"))
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", s.alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        pround(F.avg("s"), 4).alias("avg_surprisal"),
+        pround(F.max("s"), 4).alias("max_surprisal"),
+    )
+
+
+@query(
+    "llm_ann_range",
+    oracle=f"""
+    WITH el AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+             UNNEST(a.embedding) AS xa, UNNEST(b.embedding) AS xb
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < {ANN_RANGE_PROBES} AND a.vec_id <> b.vec_id
+    ), dots AS (
+      SELECT probe_id, vec_id,
+             SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+             SUM(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE)) AS na,
+             SUM(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)) AS nb
+      FROM el GROUP BY 1, 2
+    )
+    SELECT probe_id, vec_id,
+           ROUND(dot / (SQRT(na) * SQRT(nb)), 4) AS cosine
+    FROM dots
+    WHERE ROUND(dot / (SQRT(na) * SQRT(nb)), 4) >= {ANN_RANGE_T}
+    """,
+)
+def llm_ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search: every vector within cosine ≥ {ANN_RANGE_T}
+    of {ANN_RANGE_PROBES} broadcast probe vectors — the radius-query
+    companion of llm_cosine_topk (retrieval wants top-k; dedup and
+    clustering want "everything this close").
+
+    Same witness mechanism as the top-k form: probes broadcast
+    (constant-bounded), JVM higher-order dot product in f64 (products
+    of f32 are exact in f64 and both engines sum in index order, so
+    the 4-dp-rounded threshold compare is bit-stable). The scale paths
+    are the registered bucketed variants (llm_ann_lsh / llm_ann_ivf) —
+    a range scan at 100 TB prunes buckets, never cross-joins.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < ANN_RANGE_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("ea")
+    )
+    cands = emb.select("vec_id", F.col("embedding").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))
+    )
+    return (
+        F.broadcast(probes)
+        .crossJoin(cands)
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id", pround(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= ANN_RANGE_T)
+    )
+
+
+@query(
+    "llm_stopword_profile",
+    oracle=f"""
+    WITH tc AS (
+      SELECT lang, token, COUNT(*) AS c FROM (
+        SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT lang, token, c AS n_occurrences, rnk
+    FROM (
+      SELECT lang, token, c,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY c DESC, token) AS INT) AS rnk
+      FROM tc)
+    WHERE rnk <= {STOPWORD_TOPK}
+    """,
+)
+def llm_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stopword profile: the top-{STOPWORD_TOPK} most
+    frequent tokens per language — the empirical stopword list quality
+    heuristics (Gopher's common-word ratio, lang-ID profiles) should be
+    fit from, rather than hard-coding English lists.
+
+    One (lang, token) count shuffle (map-side combined), then a
+    per-lang top-k window over the vocabulary-sized aggregate —
+    exact integer ordering with a token tiebreak, deterministic on both
+    engines. At 100 TB the window input is vocabulary × languages, not
+    corpus-sized.
+    """
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("c").desc(), "token")
+    return (
+        tc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= STOPWORD_TOPK)
+        .select(
+            "lang",
+            "token",
+            F.col("c").alias("n_occurrences"),
+            "rnk",
+        )
+    )

@@ -312,6 +312,10 @@ def test_no_scale_red_flags_any_query(spark):
     # 25×5 grid, or the K_IVF centroid set.
     bnlj_ok = {"join_cross", "llm_cosine_topk", "llm_tfidf_topterms",
                "llm_ann_ivf", "llm_quality_filter",
+               # ≤5-row probe set broadcast into the range scan (the
+               # same witness shape as llm_cosine_topk); 1-row corpus
+               # anchor / vocab-count broadcasts respectively
+               "llm_ann_range", "events_rfm", "llm_bigram_surprisal",
                # composes llm_cosine_topk, inheriting its probe-bounded
                # (≤10-row broadcast) cross join
                "llm_ann_recall",
