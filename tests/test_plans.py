@@ -391,3 +391,33 @@ def test_exact_witness_absolute_caps_pushed(spark):
     src = open(llm_ops_mod.__file__).read()
     body = src.split("def llm_jaccard_neardup")[1].split("\n@query")[0]
     assert "JACCARD_WITNESS_MAX_ID" in body
+
+
+def test_round4_correctness_window_priority():
+    """The driver's correctness report caps at 50 rows in registration
+    order, so the round-4 rotation (engine/__init__) is load-bearing:
+    the 14 never-driver-checked round-3 seeds and the 10 round-4
+    additions MUST occupy the first 24 slots, and every query whose
+    semantics changed this round must sit inside the cap. Update this
+    list when rotating for the next round."""
+    ids = list(engine.QUERIES)
+    seeds_r3 = [
+        "q4_order_priority", "q6_forecast_revenue", "q15_top_supplier",
+        "q17_small_quantity", "q20_potential_promotion",
+        "events_anomaly_zscore", "llm_dataset_card", "emb_quantize_audit",
+        "llm_semdedup", "stream_foreach_batch_merge", "win_range_interval",
+        "udf_cogroup_pandas", "events_markov_transitions", "join_null_safe",
+    ]
+    new_r4 = [
+        "q2_min_cost_supplier", "q8_market_share", "q11_important_stock",
+        "q12_late_priority", "q13_customer_distribution",
+        "q16_parts_supplier", "q21_suppliers_kept_waiting",
+        "source_avro_roundtrip", "agg_grouping_sets_df", "agg_decimal_money",
+    ]
+    assert ids[:24] == seeds_r3 + new_r4
+    changed_r4 = [
+        "llm_repetition_filter", "llm_block_dedup", "llm_jaccard_neardup",
+        "llm_ngram_jaccard",
+    ]
+    for qid in changed_r4:
+        assert ids.index(qid) < 50, f"{qid} fell out of the driver window"
