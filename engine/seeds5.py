@@ -1,6 +1,7 @@
 """Round-5 seed operators: distribution windows, RFM segmentation, a
-bigram-LM quality signal, cosine range search, and per-language stopword
-profiles — registered PAST the round-4 correctness window (the 50-row
+bigram-LM quality signal, cosine range search, per-language stopword
+profiles, the conditional-aggregate family, OHLC bars, and the bitwise
+surface — registered PAST the round-4 correctness window (the 50-row
 cap is spoken for; see engine/__init__), fully oracled and in the local
 differential suite immediately, to rotate first next round (the same
 seeding pattern tpch_ext/curation2 used in round 3).
@@ -330,4 +331,155 @@ def llm_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("n_occurrences"),
             "rnk",
         )
+    )
+
+
+@query(
+    "agg_conditional_family",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n_lines,
+           CAST(COUNT(*) FILTER (l_discount > 0.05) AS BIGINT)
+             AS n_discounted,
+           BOOL_AND(l_quantity > 0) AS all_positive_qty,
+           BOOL_OR(l_tax > 0.07) AS any_high_tax,
+           ROUND(MAX_BY(l_extendedprice,
+                        (l_orderkey * 10 + l_linenumber) * 10000000000
+                        + CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)), 2)
+             AS latest_price,
+           ROUND(MIN_BY(l_extendedprice,
+                        (l_orderkey * 10 + l_linenumber) * 10000000000
+                        + CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)), 2)
+             AS earliest_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional-aggregate family in one pass: count_if, bool_and/
+    bool_or, and max_by/min_by — the aggregate surface beyond plain
+    sum/avg (SURVEY.md §2.C family).
+
+    max_by/min_by need a UNIQUE ordering key because ties are an
+    engine's arbitrary choice (§7.5) — and the fixture's (orderkey,
+    linenumber) is NOT unique (duplicate lines exist), so the cent
+    value itself is packed into the low digits of a single bigint key
+    ((orderkey×10+linenumber)×10¹⁰ + cents, exact 63-bit arithmetic at
+    fixture key ranges; DuckDB 1.0's max_by takes no struct ordering).
+    Every other aggregate here is an exact count/boolean. One
+    map-side-combined shuffle over the 3-value status domain.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    uniq = (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * F.lit(
+        10_000_000_000
+    ) + F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    return li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_lines"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        pround(F.max_by("l_extendedprice", uniq), 2).alias("latest_price"),
+        pround(F.min_by("l_extendedprice", uniq), 2).alias("earliest_price"),
+    )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+             ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ), w AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY ts, event_id) AS rna,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM e
+    )
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           ROUND(MAX(CASE WHEN rna = 1 THEN value END), 2) AS open,
+           ROUND(MAX(value), 2) AS high,
+           ROUND(MIN(value), 2) AS low,
+           ROUND(MAX(CASE WHEN rnd = 1 THEN value END), 2) AS close
+    FROM w GROUP BY user_id, day
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) daily bars per user over the purchase
+    stream — the canonical time-series downsample a metrics store
+    serves.
+
+    Open/close are selected by ROW_NUMBER over the UNIQUE (ts,
+    event_id) order — not min_by(ts) alone, because duplicate
+    timestamps would make the pick an engine choice (§7.5). Both
+    windows and the final aggregate hash-partition on (user_id, day),
+    so the whole query is ONE exchange followed by two sorts and a
+    partial-combined aggregate — the shape that holds at 100 TB of
+    ticks.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = W.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rna", F.row_number().over(wa))
+        .withColumn("rnd", F.row_number().over(wd))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_trades"),
+            pround(
+                F.max(F.when(F.col("rna") == 1, F.col("value"))), 2
+            ).alias("open"),
+            pround(F.max("value"), 2).alias("high"),
+            pround(F.min("value"), 2).alias("low"),
+            pround(
+                F.max(F.when(F.col("rnd") == 1, F.col("value"))), 2
+            ).alias("close"),
+        )
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(BIT_AND(l_orderkey) AS BIGINT) AS key_bit_and,
+           CAST(BIT_OR(l_orderkey) AS BIGINT) AS key_bit_or,
+           CAST(BIT_XOR(l_orderkey) AS BIGINT) AS key_bit_xor,
+           CAST(SUM(XOR(l_orderkey, l_partkey) % 1024) AS BIGINT)
+             AS xor_bucket_sum
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression + aggregate surface: per-row XOR bucketing and
+    the bit_and/bit_or/bit_xor aggregates (SURVEY.md §2.E family — used
+    in practice for hash-partitioning checks and bitmap-style rollups).
+
+    Pure integer arithmetic end to end — bit-identical on any engine,
+    no rounding anywhere. One map-side-combined shuffle over the
+    3-value status domain.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bit_and("l_orderkey").alias("key_bit_and"),
+        F.bit_or("l_orderkey").alias("key_bit_or"),
+        F.bit_xor("l_orderkey").alias("key_bit_xor"),
+        F.sum(
+            F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")) % 1024
+        ).cast("bigint").alias("xor_bucket_sum"),
     )
