@@ -483,3 +483,140 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")) % 1024
         ).cast("bigint").alias("xor_bucket_sum"),
     )
+
+
+TEMP_ALPHA = 0.3  # sampling temperature (multilingual-style rebalancing)
+SURVIVOR_THRESHOLD = 0.8  # reuses CLUSTER_THRESHOLD's near-dup graph
+
+
+@query(
+    "llm_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_docs) AS n FROM counts
+    ), raw AS (
+      SELECT source, n_docs,
+             CAST(n_docs AS DOUBLE) / tot.n AS p,
+             POWER(CAST(n_docs AS DOUBLE) / tot.n, {TEMP_ALPHA}) AS pw
+      FROM counts CROSS JOIN tot
+    )
+    SELECT source, n_docs,
+           ROUND(p, 6) AS p,
+           ROUND(pw / SUM(pw) OVER (), 6) AS w,
+           ROUND((pw / SUM(pw) OVER ()) / p, 4) AS boost
+    FROM raw
+    """,
+)
+def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling mixture over the source domains:
+    w_i ∝ p_i^{TEMP_ALPHA} — the standard rebalancing that upsamples
+    tail domains (or languages) when assembling a training mix, with
+    the per-domain boost factor w_i / p_i a sampler would apply.
+
+    One count aggregate over the bounded source domain, then two 1-row
+    broadcast totals (doc count, Σpw) — no global window (a global
+    window is the plan sweep's red flag; over this domain-sized frame
+    it would be harmless, but the broadcast-total shape stays correct
+    verbatim if the domain column ever became high-cardinality). POWER
+    on the exact count ratio may differ from DuckDB's libm by an ulp;
+    all emitted values are rounded well above that noise (§7.5).
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n"))
+    p = F.col("n_docs").cast("double") / F.col("n")
+    raw = (
+        counts.join(F.broadcast(tot))
+        .select(
+            "source", "n_docs", p.alias("p"), F.pow(p, TEMP_ALPHA).alias("pw")
+        )
+        .localCheckpoint(eager=True)
+    )
+    pw_tot = raw.agg(F.sum("pw").alias("spw"))
+    w_norm = F.col("pw") / F.col("spw")
+    return raw.join(F.broadcast(pw_tot)).select(
+        "source",
+        "n_docs",
+        pround(F.col("p"), 6).alias("p"),
+        pround(w_norm, 6).alias("w"),
+        pround(w_norm / F.col("p"), 4).alias("boost"),
+    )
+
+
+@query(
+    "llm_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, lang, token FROM (
+        SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        FROM documents)
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common)
+            >= {SURVIVOR_THRESHOLD}
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ), reach AS (
+      SELECT doc_id AS u, doc_id AS r FROM documents
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ), clusters AS (
+      SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT c.cluster_id AS doc_id,
+           d.lang,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM clusters c
+    JOIN documents d ON d.doc_id = c.cluster_id
+    GROUP BY 1, 2, 3
+    """,
+)
+def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEPT corpus: one canonical survivor per near-dup component
+    (token Jaccard ≥ {SURVIVOR_THRESHOLD}, min-doc_id representative)
+    with how many members it absorbed — the artifact a corpus release
+    actually ships, where llm_dedup_clusters emits the full labeling
+    and llm_dedup_pipeline audits the funnel counts. Exact duplicates
+    are subsumed (identical texts have Jaccard 1.0 and land in the same
+    component).
+
+    Same distributed machinery as llm_dedup_clusters (LSH-free exact
+    edges at witness scale; connected components to a true fixpoint),
+    then a cluster-sized aggregate joined back to the survivors'
+    metadata — the join is on the canonical id, so its input is
+    clusters, not the corpus.
+    """
+    from engine.pipeline_ops import _neardup_edges, connected_components
+
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("u"))
+    labels = connected_components(nodes, _neardup_edges(spark, sf_dir))
+    clusters = labels.groupBy("label").agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        clusters.join(d, clusters["label"] == d["doc_id"])
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )

@@ -314,8 +314,9 @@ def test_no_scale_red_flags_any_query(spark):
                "llm_ann_ivf", "llm_quality_filter",
                # ≤5-row probe set broadcast into the range scan (the
                # same witness shape as llm_cosine_topk); 1-row corpus
-               # anchor / vocab-count broadcasts respectively
+               # anchor / vocab-count / totals broadcasts respectively
                "llm_ann_range", "events_rfm", "llm_bigram_surprisal",
+               "llm_temperature_mixture",
                # composes llm_cosine_topk, inheriting its probe-bounded
                # (≤10-row broadcast) cross join
                "llm_ann_recall",
