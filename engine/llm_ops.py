@@ -22,6 +22,7 @@ from pyspark.sql.window import Window as W
 from engine.det import pround
 from engine.registry import query
 from engine.session import load
+from engine.vec import _dot, _sq_norm
 
 N_MINHASH = 16
 _UNROLL_MAX_WORDS = 8  # see bitset_intersection: JIT bytecode-size cliff
@@ -203,23 +204,9 @@ def nondet_zero() -> Column:
     return F.shiftright(F.monotonically_increasing_id(), 63)
 
 
-def _sq_norm(arr: Column) -> Column:
-    """Σx² over an array<float>, accumulated in double."""
-    return F.aggregate(
-        arr,
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
-    )
-
-
-def _dot(a: Column, b: Column) -> Column:
-    """Σaᵢbᵢ via zip_with + fold, accumulated in double (JVM-side
-    higher-order functions — no Python, no UDF)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+# Shared vector expressions live in engine.vec (registration-free) so
+# seed modules can use them without pulling this module's registrations
+# ahead of theirs in the correctness window; re-exported for callers.
 
 
 @query(

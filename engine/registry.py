@@ -61,6 +61,8 @@ def query(
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__  # lets tests audit the
+        # registration window by module (tests/test_plans.py)
         if qid in QUERIES:
             raise ValueError(f"duplicate query id: {qid}")
         QUERIES[qid] = wrapped

@@ -14,9 +14,9 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from engine.det import pround
-from engine.llm_ops import _dot, _sq_norm
 from engine.registry import query
 from engine.session import load
+from engine.vec import _dot, _sq_norm
 
 NTILE_BUCKETS = 4
 RFM_R_DAYS = (1, 3)  # recency <= d3 -> 3, <= d2 -> 2, else 1

@@ -394,20 +394,19 @@ def test_exact_witness_absolute_caps_pushed(spark):
     assert "JACCARD_WITNESS_MAX_ID" in body
 
 
-def test_round4_correctness_window_priority():
+def test_round5_correctness_window_priority():
     """The driver's correctness report caps at 50 rows in registration
-    order, so the round-4 rotation (engine/__init__) is load-bearing:
-    the 14 never-driver-checked round-3 seeds and the 10 round-4
-    additions MUST occupy the first 24 slots, and every query whose
-    semantics changed this round must sit inside the cap. Update this
-    list when rotating for the next round."""
+    order, so the round-5 rotation (engine/__init__) is load-bearing:
+    the 10 never-driver-checked round-5 seeds MUST occupy the first 10
+    slots (VERDICT r4 item 1), followed by the round-4 additions for
+    drift re-check, and every query whose semantics/module changed this
+    round must sit inside the cap. Update when rotating next round."""
     ids = list(engine.QUERIES)
-    seeds_r3 = [
-        "q4_order_priority", "q6_forecast_revenue", "q15_top_supplier",
-        "q17_small_quantity", "q20_potential_promotion",
-        "events_anomaly_zscore", "llm_dataset_card", "emb_quantize_audit",
-        "llm_semdedup", "stream_foreach_batch_merge", "win_range_interval",
-        "udf_cogroup_pandas", "events_markov_transitions", "join_null_safe",
+    seeds_r5 = [
+        "win_ntile_cume", "events_rfm", "llm_bigram_surprisal",
+        "llm_ann_range", "llm_stopword_profile", "agg_conditional_family",
+        "ts_ohlc_bars", "fn_bitwise", "llm_temperature_mixture",
+        "llm_dedup_survivors",
     ]
     new_r4 = [
         "q2_min_cost_supplier", "q8_market_share", "q11_important_stock",
@@ -415,10 +414,42 @@ def test_round4_correctness_window_priority():
         "q16_parts_supplier", "q21_suppliers_kept_waiting",
         "source_avro_roundtrip", "agg_grouping_sets_df", "agg_decimal_money",
     ]
-    assert ids[:24] == seeds_r3 + new_r4
-    changed_r4 = [
-        "llm_repetition_filter", "llm_block_dedup", "llm_jaccard_neardup",
-        "llm_ngram_jaccard",
+    assert ids[:20] == seeds_r5 + new_r4
+    changed_r5 = [
+        # touched by this round's ADVICE fixes / vec-helper move
+        "stream_foreach_batch_merge", "source_avro_roundtrip",
+        "llm_ngram_jaccard", "llm_ngram_lsh", "llm_dedup_clusters",
+        "llm_cosine_topk", "llm_jaccard_neardup",
     ]
-    for qid in changed_r4:
+    for qid in changed_r5:
         assert ids.index(qid) < 50, f"{qid} fell out of the driver window"
+
+
+def test_no_untested_op_registers_past_window():
+    """Window-budget assertion (VERDICT r4 item 6): a refactor must never
+    silently push a never-driver-checked operator past the driver's
+    50-row correctness cap. Every registered qid must either (a) already
+    have a driver row in some CORRECTNESS_r*.json, (b) sit inside this
+    round's first-50 window, or (c) be a DECLARED next-round seed
+    (module engine.seeds6 — registered past the window on purpose, with
+    local differential coverage standing in until rotation)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    driver_checked: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            driver_checked.update(json.load(f).keys())
+    assert driver_checked, "no CORRECTNESS_r*.json found"
+    ids = list(engine.QUERIES)
+    for i, qid in enumerate(ids):
+        if i < 50 or qid in driver_checked:
+            continue
+        mod = engine.QUERIES[qid].__module__
+        assert mod == "engine.seeds6", (
+            f"{qid} ({mod}) at position {i + 1} has no driver row, is "
+            "past the 50-row window, and is not a declared next-round "
+            "seed — it would be silently untested"
+        )
