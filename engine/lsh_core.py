@@ -43,9 +43,16 @@ def _minhash_sig(tok: DataFrame) -> DataFrame:
     )
 
 
-def lsh_oracle(tok_sql: str = _TOK_SQL, threshold: float = 0.8) -> str:
-    """DuckDB mirror of :func:`lsh_neardup_pairs` over any (doc_id, lang,
-    token) CTE — the token form and the char-shingle form share it."""
+def lsh_candidate_ctes(tok_sql: str = _TOK_SQL) -> str:
+    """DuckDB CTE chain mirroring :func:`lsh_neardup_pairs` candidate
+    generation over any (doc_id, lang, token) CTE — ends with ``sz``
+    (per-doc set sizes) and ``inter`` (per-candidate-pair intersection
+    counts). Shared by the near-dup pair oracles (:func:`lsh_oracle`)
+    and the dedup-clustering oracles (engine.pipeline_ops /
+    engine.seeds5), which append their own threshold filter + recursive
+    closure. The banding is deterministic (md5-derived minhash), so both
+    engines agree on the exact candidate set — banding recall is part of
+    the MIRRORED semantics, not a source of divergence."""
     mins = ",\n             ".join(
         f"MIN(('0x' || SUBSTRING(MD5(token || '#{i}'), 1, 15))::BIGINT)"
         f" AS h{i:02d}"
@@ -61,8 +68,7 @@ def lsh_oracle(tok_sql: str = _TOK_SQL, threshold: float = 0.8) -> str:
         )
         for b in range(N_BANDS)
     )
-    return f"""
-    WITH tok AS ({tok_sql}),
+    return f"""tok AS ({tok_sql}),
     sig AS (
       SELECT doc_id, lang,
              {mins}
@@ -82,7 +88,14 @@ def lsh_oracle(tok_sql: str = _TOK_SQL, threshold: float = 0.8) -> str:
       JOIN tok ta ON ta.doc_id = c.doc_a
       JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
       GROUP BY 1, 2
-    )
+    )"""
+
+
+def lsh_oracle(tok_sql: str = _TOK_SQL, threshold: float = 0.8) -> str:
+    """DuckDB mirror of :func:`lsh_neardup_pairs` over any (doc_id, lang,
+    token) CTE — the token form and the char-shingle form share it."""
+    return f"""
+    WITH {lsh_candidate_ctes(tok_sql)}
     SELECT doc_a, doc_b,
            ROUND(CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common), 4)
              AS jaccard

@@ -41,7 +41,7 @@ from engine.llm_ops import (
     tokens,
 )
 from engine.registry import query
-from engine.lsh_core import lsh_neardup_pairs, lsh_oracle
+from engine.lsh_core import lsh_candidate_ctes, lsh_neardup_pairs, lsh_oracle
 from engine.session import load
 
 NGRAM = 5  # character shingle width
@@ -229,43 +229,23 @@ def llm_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected token-Jaccard ≥ {CLUSTER_THRESHOLD} near-dup edges
     (u, v), both directions — the input graph for dedup clustering.
-    Same bitset verify as llm_jaccard_neardup."""
+
+    Edge generation goes through the MinHash-LSH banding core
+    (engine.lsh_core.lsh_neardup_pairs): band-bucket candidates, then
+    exact-Jaccard bitset verify of candidates only. Until round 5 this
+    broadcast-joined the FULL packed corpus against itself (ADVICE r4:
+    the same linear-growth pattern the capped witnesses had), which
+    stops fitting in a broadcast at any real corpus size; the banded
+    path's candidate set is bucket-local, so the two clustering queries
+    riding this graph (llm_dedup_clusters, llm_dedup_survivors) now
+    keep their semantics at 100 TB. The banding is deterministic and
+    mirrored CTE-for-CTE in their DuckDB oracles (lsh_candidate_ctes),
+    so the banding S-curve recall is part of the CHECKED contract, not
+    drift."""
     d = load(spark, sf_dir, "documents")
-    tok = tokens(d, distinct=True)
-    packed = packed_token_sets(tok).localCheckpoint(eager=True)
-    n_words = len(packed.select("mask").first()[0])
-    a = packed.select(
-        F.col("doc_id").alias("doc_a"),
-        "lang",
-        F.col("mask").alias("ma"),
-        F.col("n_tok").alias("na"),
-    )
-    b = packed.select(
-        F.col("doc_id").alias("doc_b"),
-        "lang",
-        F.col("mask").alias("mb"),
-        F.col("n_tok").alias("nb"),
-    )
-    t = CLUSTER_THRESHOLD
-    pairs = (
-        a.join(
-            F.broadcast(b),
-            (a["lang"] == b["lang"])
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("na") * t <= F.col("nb"))
-            & (F.col("nb") * t <= F.col("na")),
-        )
-        .withColumn(
-            "n_common",
-            bitset_intersection("ma", "mb", n_words) + nondet_zero(),
-        )
-        .filter(
-            F.col("n_common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_common"))
-            >= t
-        )
-        .select("doc_a", "doc_b")
-    )
+    pairs = lsh_neardup_pairs(
+        tokens(d, distinct=True), CLUSTER_THRESHOLD
+    ).select("doc_a", "doc_b")
     return pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
@@ -343,18 +323,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 @query(
     "llm_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE tok AS (
-      SELECT DISTINCT doc_id, lang, token FROM (
-        SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
-        FROM documents)
-    ), sz AS (
-      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM tok a JOIN tok b
-        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), pairs AS (
+    WITH RECURSIVE {lsh_candidate_ctes()},
+    pairs AS (
       SELECT doc_a, doc_b
       FROM inter
       JOIN sz sa ON doc_a = sa.doc_id
@@ -377,8 +347,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components over the near-dup graph
-    (token Jaccard ≥ {CLUSTER_THRESHOLD}); every document labeled with
-    its component's min doc_id, canonical survivor = the min itself.
+    (token Jaccard ≥ {CLUSTER_THRESHOLD} among MinHash-LSH banded
+    candidates — the 100 TB edge generation, mirrored in the oracle);
+    every document labeled with its component's min doc_id, canonical
+    survivor = the min itself.
 
     Near-dup *pairs* aren't actionable for dedup until they're grouped —
     A~B and B~C must drop to one survivor even when A~C fails the
@@ -388,7 +360,8 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The component search is :func:`connected_components` (min-label
     propagation + path halving — see its docstring for the distributed
     round structure). The oracle is DuckDB's exact transitive closure
-    via recursive CTE, so the loop must (and does) run to a true
+    via recursive CTE over the SAME banded candidate edges
+    (lsh_candidate_ctes), so the loop must (and does) run to a true
     fixpoint, not a fixed round count.
     """
     d = load(spark, sf_dir, "documents")

@@ -545,21 +545,17 @@ def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_dedup_survivors",
-    oracle=f"""
-    WITH RECURSIVE tok AS (
-      SELECT DISTINCT doc_id, lang, token FROM (
-        SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
-        FROM documents)
-    ), sz AS (
-      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM tok a JOIN tok b
-        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), pairs AS (
+def _survivors_oracle() -> str:
+    """Deferred oracle (resolved by registry.resolve_oracles after all
+    modules import): the lsh_core import happens lazily because pulling
+    it at module import time would transitively register llm_ops's
+    queries AHEAD of this module's — and engine/__init__'s rotation
+    depends on seeds5 registering first this round."""
+    from engine.lsh_core import lsh_candidate_ctes
+
+    return f"""
+    WITH RECURSIVE {lsh_candidate_ctes()},
+    pairs AS (
       SELECT doc_a, doc_b
       FROM inter
       JOIN sz sa ON doc_a = sa.doc_id
@@ -585,8 +581,10 @@ def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM clusters c
     JOIN documents d ON d.doc_id = c.cluster_id
     GROUP BY 1, 2, 3
-    """,
-)
+    """
+
+
+@query("llm_dedup_survivors", oracle=_survivors_oracle)
 def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KEPT corpus: one canonical survivor per near-dup component
     (token Jaccard ≥ {SURVIVOR_THRESHOLD}, min-doc_id representative)
@@ -596,11 +594,12 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     are subsumed (identical texts have Jaccard 1.0 and land in the same
     component).
 
-    Same distributed machinery as llm_dedup_clusters (LSH-free exact
-    edges at witness scale; connected components to a true fixpoint),
-    then a cluster-sized aggregate joined back to the survivors'
-    metadata — the join is on the canonical id, so its input is
-    clusters, not the corpus.
+    Same distributed machinery as llm_dedup_clusters (MinHash-LSH
+    banded candidate edges with exact bitset verify — mirrored
+    CTE-for-CTE in the oracle — then connected components to a true
+    fixpoint), then a cluster-sized aggregate joined back to the
+    survivors' metadata — the join is on the canonical id, so its
+    input is clusters, not the corpus.
     """
     from engine.pipeline_ops import _neardup_edges, connected_components
 

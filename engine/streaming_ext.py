@@ -76,10 +76,16 @@ def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bkt",
             F.pmod(F.hash("window_start", "event_type"), F.lit(FB_BUCKETS)),
         )
+        touched = [r["bkt"] for r in new.select("bkt").distinct().collect()]
+        # An empty micro-batch must not touch the store: writing it
+        # would create a parquet dir with no partition files, and the
+        # NEXT batch's schema-inferring read of the store would abort
+        # the stream (ADVICE r4 — latent here because file replay
+        # batches are non-empty, real on sources that emit an empty
+        # batch 0).
+        if not touched:
+            return
         if store.exists():
-            touched = [
-                r["bkt"] for r in new.select("bkt").distinct().collect()
-            ]
             old = (
                 spark.read.parquet(str(store))
                 # Partition pruning: only the touched buckets are read.
@@ -87,12 +93,15 @@ def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(new, ["window_start", "event_type"], "left_anti")
             )
             new = new.unionByName(old)
-        # Materialize before overwriting the dirs the plan reads from
-        # (bounded: ≤ windows × event_types rows), then one write task —
-        # a data-sized sink would repartition("bkt") instead.
+        # Materialize before overwriting the dirs the plan reads from,
+        # then write with one task per touched bucket: repartition on
+        # the partition key keeps the writer parallel when the key
+        # space is data-sized (VERDICT r4 nit — coalesce(1) serialized
+        # the sink through a single task) while still emitting one file
+        # per bucket dir, so the committer cost stays O(buckets).
         (
             new.localCheckpoint(eager=True)
-            .coalesce(1)
+            .repartition("bkt")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bkt")
