@@ -43,16 +43,47 @@ def _minhash_sig(tok: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_ctes(tok_sql: str = _TOK_SQL) -> str:
-    """DuckDB CTE chain mirroring :func:`lsh_neardup_pairs` candidate
-    generation over any (doc_id, lang, token) CTE — ends with ``sz``
-    (per-doc set sizes) and ``inter`` (per-candidate-pair intersection
-    counts). Shared by the near-dup pair oracles (:func:`lsh_oracle`)
-    and the dedup-clustering oracles (engine.pipeline_ops /
-    engine.seeds5), which append their own threshold filter + recursive
-    closure. The banding is deterministic (md5-derived minhash), so both
-    engines agree on the exact candidate set — banding recall is part of
-    the MIRRORED semantics, not a source of divergence."""
+def band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, lang, band, bv) rows from a minhash signature frame.
+
+    One explode over an array of (band, band-hash) structs — a 4-way
+    union here would recompute the signature aggregate per branch; the
+    explode computes it once, and identical subplans on the two sides
+    of a bucket self-join reuse one shuffle (ReusedExchange). Shared by
+    :func:`lsh_neardup_pairs` and the cross-corpus decontamination
+    (engine.seeds6)."""
+    per_band = N_MINHASH // N_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            f"h{i:02d}"
+                            for i in range(b * per_band, (b + 1) * per_band)
+                        ],
+                    )
+                ).alias("bv"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", "lang", F.explode(band_structs).alias("s")
+    ).select("doc_id", "lang", "s.band", "s.bv")
+
+
+def lsh_sig_bands_ctes(tok_sql: str = _TOK_SQL) -> str:
+    """DuckDB CTE prefix mirroring the minhash-signature + band-hash
+    construction over any (doc_id, lang, token) CTE — ends with
+    ``bands`` (doc_id, lang, band, bv). Consumers append their own
+    candidate join: the self-join form (:func:`lsh_candidate_ctes`) or
+    the cross-corpus form (engine.seeds6's decontamination). The
+    banding is deterministic (md5-derived minhash), so both engines
+    agree on the exact candidate set — banding recall is part of the
+    MIRRORED semantics, not a source of divergence."""
     mins = ",\n             ".join(
         f"MIN(('0x' || SUBSTRING(MD5(token || '#{i}'), 1, 15))::BIGINT)"
         f" AS h{i:02d}"
@@ -75,7 +106,18 @@ def lsh_candidate_ctes(tok_sql: str = _TOK_SQL) -> str:
       FROM tok GROUP BY doc_id, lang
     ), bands AS (
 {band_selects}
-    ), cand AS (
+    )"""
+
+
+def lsh_candidate_ctes(tok_sql: str = _TOK_SQL) -> str:
+    """DuckDB CTE chain mirroring :func:`lsh_neardup_pairs` candidate
+    generation — :func:`lsh_sig_bands_ctes` plus the self-join, ending
+    with ``sz`` (per-doc set sizes) and ``inter`` (per-candidate-pair
+    intersection counts). Shared by the near-dup pair oracles
+    (:func:`lsh_oracle`) and the dedup-clustering oracles
+    (engine.pipeline_ops / engine.seeds5), which append their own
+    threshold filter + recursive closure."""
+    return f"""{lsh_sig_bands_ctes(tok_sql)}, cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bv = b.bv AND a.lang = b.lang
@@ -129,32 +171,7 @@ def lsh_neardup_pairs(
     the signature build and the verify pack."""
     if materialize_tok:
         tok = tok.localCheckpoint(eager=True)
-    sig = _minhash_sig(tok)
-    per_band = N_MINHASH // N_BANDS
-    # One explode over an array of (band, band-hash) structs — a 4-way
-    # union here would recompute the signature aggregate per branch; the
-    # explode computes it once, and the identical subplans on the two
-    # sides of the self-join reuse one shuffle (ReusedExchange).
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            f"h{i:02d}"
-                            for i in range(b * per_band, (b + 1) * per_band)
-                        ],
-                    )
-                ).alias("bv"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", "lang", F.explode(band_structs).alias("s")
-    ).select("doc_id", "lang", "s.band", "s.bv")
+    bands = band_rows(_minhash_sig(tok))
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
