@@ -453,3 +453,50 @@ def test_no_untested_op_registers_past_window():
             "past the 50-row window, and is not a declared next-round "
             "seed — it would be silently untested"
         )
+
+
+def test_calendar_dim_join_broadcasts_day_aggregate(spark):
+    """join_calendar_dim's left-outer calendar⋈day_agg must be a
+    BroadcastHashJoin with the DAY AGGREGATE on the build side — the
+    fact is reduced to day grain before the join, so no fact-sized
+    shuffle reaches the calendar (the property that holds at 100 TB)."""
+    import re
+
+    p = plan(spark, "join_calendar_dim")
+    assert "BroadcastHashJoin LeftOuter BuildRight" in p
+    # two orders scans only (span + day_agg), counted in the detail
+    # section ("(n) Scan parquet" lines — the tree repeats them)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+
+
+def test_interval_overlap_has_no_theta_join(spark):
+    """join_interval_overlap exists to PROVE the binning rewrite: the
+    plan must contain the explode (bin decomposition) and no
+    nested-loop/cartesian interval comparison anywhere."""
+    p = plan(spark, "join_interval_overlap")
+    assert "Generate" in p and "explode" in p, "bin decomposition missing"
+    assert "Join" not in p, "binning rewrite must leave NO join at all"
+
+
+def test_corr_matrix_single_fact_scan(spark):
+    """agg_corr_matrix computes all six correlations in ONE aggregate
+    pass — exactly one lineitem scan in the plan, partial aggregation
+    map-side."""
+    import re
+
+    p = plan(spark, "agg_corr_matrix")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "HashAggregate" in p
+
+
+def test_pct_change_windows_the_rollup_not_the_fact(spark):
+    """win_pct_change must aggregate to (type, day) BEFORE the lag
+    window: the Window node sits above a HashAggregate, partitioned by
+    event_type — never a sort of the raw fact."""
+    p = plan(spark, "win_pct_change", mode="extended")
+    assert "windowspecdefinition(event_type" in p
+    # physical order: aggregate below the window
+    phys = p.split("== Physical Plan ==")[1]
+    assert phys.index("HashAggregate") > phys.index("Window"), (
+        "window not above the day-grain aggregate"
+    )
