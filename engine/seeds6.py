@@ -4,7 +4,10 @@ sequence-generated calendar dimension joined as a dimension, an
 approx-vs-exact percentile drift audit, stratified k-fold splitting, a
 MinHash-LSH cross-corpus decontamination pass, plus a Zipf-fit quality
 signal, a correlation matrix, hourly seasonality, day-over-day pct
-change, and a binned interval-overlap join.
+change, a binned interval-overlap join, bag-semantics EXCEPT ALL,
+event-type co-occurrence/lift, a weighted moving average, SCD type-2
+history building, and per-document n-gram novelty — 15 operators, 14
+oracled + 1 declared sketch audit.
 
 Reference parity note: /root/reference (alehakad/FootballDataEngeneering)
 contains no code (README.md:1-2 + LICENSE only — SURVEY.md §0), so these
@@ -777,5 +780,312 @@ def llm_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("doc_t").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_clean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# set_except_all — bag-semantics EXCEPT ALL (multiplicity arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    WITH d AS (
+      SELECT l_partkey FROM lineitem WHERE l_quantity > 10
+      EXCEPT ALL
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    )
+    SELECT l_partkey, COUNT(*) AS n_remaining FROM d GROUP BY 1
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set difference via ``DataFrame.exceptAll`` —
+    multiplicities subtract (a key appearing 5× in the left and 2× in
+    the right survives 3×), which DISTINCT-based ``EXCEPT``
+    (set_except, engine/relational.py) cannot express; the remaining
+    multiplicities are aggregated for a stable hash.
+
+    Spark plans exceptAll as a ±1 counter aggregate + replication
+    (generate), not a join — one shuffle on the key, the same shape a
+    hand-written count-and-subtract would give, and the idiom a
+    retraction/compaction pipeline uses at scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 10).select("l_partkey")
+    b = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return (
+        a.exceptAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_remaining"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_cooccurrence — event-type co-occurrence + lift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cooccurrence",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day, event_type
+      FROM events
+    ), tot AS (
+      SELECT COUNT(*) AS n_ud
+      FROM (SELECT DISTINCT user_id, DATE_TRUNC('day', ts) FROM events)
+    ), singles AS (
+      SELECT event_type, COUNT(*) AS n_t FROM ud GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+      FROM ud a
+      JOIN ud b ON a.user_id = b.user_id AND a.day = b.day
+                AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) * n_ud / (sa.n_t * sb.n_t), 4)
+             AS lift
+    FROM pairs
+    JOIN singles sa ON type_a = sa.event_type
+    JOIN singles sb ON type_b = sb.event_type
+    CROSS JOIN tot
+    """,
+)
+def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over user-days: for each unordered
+    event-type pair, how many user-days saw both, and the lift
+    P(a∧b)/(P(a)·P(b)) — lift > 1 marks behaviorally coupled events
+    (the association-rule screen behind "users who X also Y").
+
+    The pair join is keyed on (user_id, day) whose per-key group is
+    bounded by the EVENT-TYPE ALPHABET (≤ 5 distinct types per
+    user-day after the DISTINCT), so the self-join fan-out is ≤ C(5,2)
+    per user-day at any corpus size — bounded like the bin explode of
+    join_interval_overlap, never quadratic in events. Lift arithmetic
+    is integers-then-one-division, stable under §7.5.2 rounding.
+    """
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).distinct()
+    tot = ud.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_ud")
+    )
+    singles = ud.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a = ud.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = ud.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("na")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            pround(
+                F.col("n_ab").cast("double")
+                * F.col("n_ud")
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_weighted_ma — linearly-weighted trailing moving average
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_weighted_ma",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS day, SUM(value) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, ROUND(sv, 2) AS sum_value,
+           ROUND((3 * sv
+                  + COALESCE(2 * LAG(sv, 1) OVER w, 0)
+                  + COALESCE(LAG(sv, 2) OVER w, 0))
+                 / (3 + CASE WHEN LAG(sv, 1) OVER w IS NULL THEN 0
+                             ELSE 2 END
+                      + CASE WHEN LAG(sv, 2) OVER w IS NULL THEN 0
+                             ELSE 1 END), 4) AS wma3
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def win_weighted_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted trailing 3-day moving average (weights 3/2/1,
+    most-recent-heaviest) of per-type daily volume — the recency-biased
+    smoother between the flat frame average (win_moving_avg) and a true
+    EWMA (whose infinite recursion no window frame expresses); series
+    edges renormalize over the weights actually present instead of
+    zero-padding the missing days.
+
+    Scale: same day-grain-rollup-first discipline as win_pct_change —
+    the lag window runs over the (type × day) grid, never the raw
+    fact; explicit LAG columns (not a weighted frame aggregate, which
+    Spark lacks) keep it one Window node, one sort of the grid.
+    """
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum("value").alias("sv"))
+    w = W.partitionBy("event_type").orderBy("day")
+    l1, l2 = F.lag("sv", 1).over(w), F.lag("sv", 2).over(w)
+    num = (
+        3 * F.col("sv")
+        + F.coalesce(2 * l1, F.lit(0.0))
+        + F.coalesce(l2, F.lit(0.0))
+    )
+    den = (
+        F.lit(3)
+        + F.when(l1.isNull(), 0).otherwise(2)
+        + F.when(l2.isNull(), 0).otherwise(1)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        pround(F.col("sv"), 2).alias("sum_value"),
+        pround(num / den, 4).alias("wma3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge_scd2_versions — slowly-changing-dimension type-2 build
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_scd2_versions",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, DATE_TRUNC('day', ts) AS day,
+             ARG_MAX(value, event_id) AS closing_value,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           day AS valid_from,
+           LEAD(day) OVER w AS valid_to,
+           ROW_NUMBER() OVER w AS version_no,
+           CAST(CASE WHEN LEAD(day) OVER w IS NULL THEN 1 ELSE 0 END
+                AS INT) AS is_current,
+           n_events,
+           ROUND(closing_value, 2) AS closing_value
+    FROM d
+    WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    """,
+)
+def merge_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: each user-day
+    becomes a version row with [valid_from, valid_to) validity derived
+    from the NEXT version's start (open-ended + is_current flag on the
+    latest) and the day's closing attribute value — the standard
+    warehouse pattern for turning an event stream into an as-of-joinable
+    dimension history (join_asof consumes exactly this shape).
+
+    ``max_by(value, event_id)`` picks the day's closing value by the
+    unique event_id order (ts increases with event_id — FIXTURES.md
+    invariant 4), deterministic on both engines (DuckDB ``arg_max``).
+    Scale: one fact shuffle to (user, day) grain, then lead/row_number
+    over each user's day spine — per-user state is days, not events.
+    """
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.expr("max_by(value, event_id)").alias("closing_value"),
+        F.count("*").alias("n_events"),
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    nxt = F.lead("day").over(w)
+    return d.select(
+        "user_id",
+        F.col("day").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.row_number().over(w).alias("version_no"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+        "n_events",
+        pround(F.col("closing_value"), 2).alias("closing_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_ngram_novelty — first-occurrence novelty share per document
+# ---------------------------------------------------------------------------
+
+
+def _novelty_oracle() -> str:
+    """Deferred oracle — pipeline_ops is imported lazily for the shared
+    shingle CTE (same registration-order reason as _decon_oracle)."""
+    from engine.pipeline_ops import _SHINGLE_SQL
+
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    first_seen AS (
+      SELECT token, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+    )
+    SELECT sh.doc_id, sh.lang,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0
+                           END) AS DOUBLE) / COUNT(*), 4) AS novelty
+    FROM sh JOIN first_seen ON sh.token = first_seen.token
+    GROUP BY 1, 2
+    """
+
+
+@query("llm_ngram_novelty", oracle=_novelty_oracle)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct character
+    5-gram shingles whose GLOBAL first occurrence (min doc_id — the
+    deterministic survivor rule) is this document. Low-novelty
+    documents are recombinations of earlier content — the
+    memorization/contamination screen that catches template farms exact
+    dedup misses and near-dup thresholds pass.
+
+    Scale: shingle → min(doc_id) is one map-combined aggregate over
+    the shingle vocabulary; the join back to per-doc shingle rows is
+    vocabulary-keyed (shuffle on token), and the final rollup is
+    doc-keyed — three shuffles, all map-reducible, nothing quadratic;
+    the shingle rows are checkpointed once and feed both sides.
+    """
+    from engine.pipeline_ops import char_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = char_shingles(d).localCheckpoint(eager=True)
+    first = sh.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first, "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            pround(
+                novel.cast("double") / F.count("*"), 4
+            ).alias("novelty"),
         )
     )
