@@ -337,7 +337,11 @@ def test_no_scale_red_flags_any_query(spark):
                "llm_quality_buckets",
                # 1-row corpus-token-total aggregate broadcast into the
                # per-token scoring projection
-               "llm_unigram_surprisal"}
+               "llm_unigram_surprisal",
+               # 1-row user-day-total aggregate broadcast into the
+               # pair-lift projection (engine/seeds6.py
+               # events_cooccurrence: n_ud denominator)
+               "events_cooccurrence"}
     # An unpartitioned window is acceptable only over metadata-bounded
     # input. Currently empty: round 1's entries (llm_jaccard_neardup,
     # llm_lsh_neardup) no longer plan any Window at all, and keeping
