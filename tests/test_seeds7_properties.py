@@ -1,0 +1,88 @@
+"""Property tests for the round-7 seeds — the contracts the driver's
+hash compare can't see: funnel stage accounting, containment threshold
+invariants, percentile ordering, and scratch-catalog hygiene for the
+two side-effecting layout operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import engine
+from engine.seeds7 import (
+    CONTAIN_THRESHOLD,
+    CONTAIN_WITNESS_MAX_ID,
+    FUNNEL_STEPS,
+)
+from tests.conftest import SF_DIR
+
+
+def test_funnel_partitions_viewers(spark):
+    """Every user with ≥1 first-step event lands in exactly one
+    max_stage bucket; stages are within [1, 3]; time-to-last is
+    non-negative and bounded by 2× the deadline for stage 3 (two
+    transitions, 1 h each)."""
+    rows = engine.QUERIES["events_window_funnel"](spark, SF_DIR).collect()
+    n_viewers = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_viewers
+    for r in rows:
+        assert 1 <= r["max_stage"] <= 3
+        assert r["avg_secs_to_last"] >= 0
+        if r["max_stage"] == 3:
+            assert r["avg_secs_to_last"] <= 7200
+
+
+def test_containment_threshold_and_cap(spark):
+    """Every reported doc is inside the witness cap, has ≥1 superset
+    partner, and best_c respects the threshold (after 4-dp rounding)."""
+    rows = engine.QUERIES["llm_containment_neardup"](spark, SF_DIR).collect()
+    assert rows, "witness found no containment pairs on the fixtures"
+    for r in rows:
+        assert r["doc_id"] < CONTAIN_WITNESS_MAX_ID
+        assert r["best_b"] < CONTAIN_WITNESS_MAX_ID
+        assert r["n_sup"] >= 1
+        assert r["best_c"] >= CONTAIN_THRESHOLD - 5e-5
+        assert r["doc_id"] != r["best_b"]
+
+
+def test_gap_percentiles_ordered(spark):
+    """p50 ≤ p95 ≤ max per event type, and every type appears."""
+    rows = engine.QUERIES["events_gap_percentiles"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["p50_gap_s"] <= r["p95_gap_s"] <= r["max_gap_s"]
+        assert r["n_gaps"] > 0
+
+
+def test_ratio_to_report_shares_sum_to_one(spark):
+    """Within each region the nation shares sum to ~1 and ranks are a
+    permutation of 1..n."""
+    rows = engine.QUERIES["win_ratio_to_report"](spark, SF_DIR).collect()
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r)
+    for rs in by_region.values():
+        assert abs(sum(r["region_share"] for r in rs) - 1.0) < 1e-4
+        assert sorted(r["region_rank"] for r in rs) == list(
+            range(1, len(rs) + 1)
+        )
+
+
+def test_layout_ops_clean_up_catalog(spark):
+    """join_bucketed_colocated must drop its scratch database even
+    though it returns a live (localized) frame — no bktdb_* leftovers
+    in the catalog after the query runs."""
+    df = engine.QUERIES["join_bucketed_colocated"](spark, SF_DIR)
+    assert df.count() > 0
+    leftovers = [
+        d.name
+        for d in spark.catalog.listDatabases()
+        if d.name.startswith("bktdb_")
+    ]
+    assert leftovers == []
