@@ -5,7 +5,10 @@ with a transition deadline, top-k event paths, a nearest-neighbor
 (bidirectional) as-of match, containment-based near-dup detection
 (subset duplication, the case Jaccard under-scores), closed-form
 skewness/kurtosis, inter-event gap percentiles, ratio-to-report
-windows, and a regexp-extraction profile — 10 operators, all oracled.
+windows, a regexp-extraction profile, bitmap exact-distinct rollups,
+an inter-source duplication matrix, a Pareto concentration curve, an
+HLL-vs-exact drift audit, and a mergeSchema evolution read — 15
+operators, 14 oracled + 1 declared sketch audit.
 
 Reference parity note: /root/reference (alehakad/FootballDataEngeneering)
 contains no code (README.md:1-2 + LICENSE only — SURVEY.md §0), so these
@@ -858,3 +861,285 @@ def fn_regexp_extract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(distinct_per_lang, "lang").select(
         "lang", "n_matches", "n_docs_matched", "n_distinct", "avg_first_pos"
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_distinct — exact distinct counting via mergeable bitmaps
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per event type computed with BITMAP
+    aggregates (bitmap_bucket_number / bitmap_construct_agg /
+    bitmap_count) instead of count_distinct: ids hash into 32k-bit
+    bucket bitmaps that merge associatively, so the partial state is a
+    fixed-width bitmap per (group, bucket) — map-combinable and
+    re-aggregatable across levels, which a COUNT(DISTINCT) expand is
+    not. This is the ClickHouse/Snowflake-style exact-distinct shape
+    for 100 TB rollups (HLL when approximate is acceptable —
+    agg_approx_distinct / agg_hll_drift).
+
+    Oracle is plain COUNT(DISTINCT): the bitmap pipeline must land on
+    identical counts — the whole point is exactness.
+    """
+    e = load(spark, sf_dir, "events")
+    per_bucket = (
+        e.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    counts = per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+    totals = e.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return counts.join(totals, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# llm_cross_source_overlap — inter-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_cross_source_overlap",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT MD5(text) AS m, source FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared
+    FROM h a JOIN h b ON a.m = b.m AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication matrix: for every source (dump) pair,
+    how many distinct texts appear in BOTH — the cross-snapshot overlap
+    report that decides which crawls are worth ingesting (CommonCrawl
+    dumps overlap 60-90%; dedup planning starts from this matrix).
+
+    One distinct on (hash, source), then a self-join keyed on the
+    128-bit hash: per-hash groups are bounded by the SOURCE ALPHABET
+    (≤ |sources| rows per hash after the distinct), so the join
+    fan-out is ≤ C(|sources|, 2) per duplicated text — alphabet-
+    bounded like events_cooccurrence, never quadratic in documents.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = d.select(F.md5("text").alias("m"), "source").distinct()
+    a = h.select("m", F.col("source").alias("source_a"))
+    b = h.select("m", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "m")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_pareto_days — concentration curve over daily volume
+# ---------------------------------------------------------------------------
+
+PARETO_NUM, PARETO_DEN = 4, 5  # threshold = 4/5 = 80 %
+
+
+@query(
+    "win_pareto_days",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS vol_cents
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, day, vol_cents,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             CAST(SUM(vol_cents) OVER (PARTITION BY event_type
+                                       ORDER BY vol_cents DESC, day
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(SUM(vol_cents) OVER (PARTITION BY event_type) AS BIGINT)
+               AS total
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY vol_cents DESC, day)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MIN(CASE WHEN cum * {PARETO_DEN} >= total * {PARETO_NUM}
+                         THEN rn END) AS BIGINT) AS days_to_80pct,
+           ROUND(MAX(CASE WHEN rn = 1 THEN vol_cents END)
+                 * 1.0 / MAX(total), 6) AS top_day_share
+    FROM r GROUP BY event_type
+    """,
+)
+def win_pareto_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-concentration (Pareto) curve: per event type, how many of
+    the heaviest days carry 80 % of total value — the "how skewed is
+    the traffic" number behind capacity planning and sampling quotas.
+
+    All arithmetic until the final share is INTEGER (value is 2-dp by
+    fixture construction, so cents = floor(100·v + 0.5) are exact
+    longs; the 80 % crossing test is cum·5 ≥ total·4 — no float
+    boundary can flip a rank across engines, the same integer-surrogate
+    trick as llm_temperature_mixture's boosts). Both windows and the
+    final aggregate share one event_type partitioning over day-grain
+    rows (≤ days per type — metadata-bounded at any corpus size).
+    """
+    e = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    d = (
+        e.select("event_type", F.date_trunc("day", "ts").alias("day"), cents.alias("c"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("vol_cents"))
+    )
+    w_ord = W.partitionBy("event_type").orderBy(
+        F.col("vol_cents").desc(), "day"
+    )
+    r = d.select(
+        "event_type",
+        "vol_cents",
+        F.row_number().over(w_ord).cast("bigint").alias("rn"),
+        F.sum("vol_cents")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("vol_cents").over(W.partitionBy("event_type")).alias("total"),
+    )
+    return r.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.min(
+            F.when(
+                F.col("cum") * PARETO_DEN >= F.col("total") * PARETO_NUM,
+                F.col("rn"),
+            )
+        ).alias("days_to_80pct"),
+        pround(
+            F.max(F.when(F.col("rn") == 1, F.col("vol_cents"))) * 1.0
+            / F.max("total"),
+            6,
+        ).alias("top_day_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_drift — approx_count_distinct vs exact audit (declared no-oracle)
+# ---------------------------------------------------------------------------
+
+HLL_RSD = 0.05
+
+
+@query("agg_hll_drift")
+def agg_hll_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd={HLL_RSD}) vs exact
+    distinct side-by-side per event type, with absolute/relative drift —
+    the audit that qualifies the sketch as the 100 TB replacement for
+    exact distinct (the agg_percentile_drift pattern applied to
+    cardinality). DECLARED no-oracle: DuckDB's approx_count_distinct is
+    a different HLL implementation, so no cross-engine hash can exist;
+    tests/test_seeds7_properties.py asserts the published HLL++ error
+    bound (|err| ≤ ~3·rsd) at two scale factors instead.
+
+    The exact side reuses the bitmap pipeline's count_distinct; both
+    sides are map-combined partial aggregates in ONE pass over the
+    fact — the sketch's point is that its partial state is constant-
+    width where the exact expand's is cardinality-sized.
+    """
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_n"),
+        F.expr(f"approx_count_distinct(user_id, {HLL_RSD}D)").alias(
+            "approx_n"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        "exact_n",
+        "approx_n",
+        (F.col("approx_n") - F.col("exact_n")).alias("abs_err"),
+        pround(
+            F.abs(F.col("approx_n") - F.col("exact_n"))
+            / F.col("exact_n"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_schema_evolution — mergeSchema read across schema versions
+# ---------------------------------------------------------------------------
+
+SCHEMA_V1_MAX_ID = 200
+
+
+@query(
+    "source_schema_evolution",
+    oracle=f"""
+    WITH unioned AS (
+      SELECT doc_id, lang, NULL::BIGINT AS n_chars
+      FROM documents WHERE doc_id < {SCHEMA_V1_MAX_ID}
+      UNION ALL
+      SELECT doc_id, lang, n_chars
+      FROM documents WHERE doc_id >= {SCHEMA_V1_MAX_ID}
+    )
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v1_rows,
+           CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars
+    FROM unioned GROUP BY lang
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the documents
+    table — v1 (doc_id, lang) and v2 (+ n_chars) — read back in ONE
+    scan with ``mergeSchema=true``; v1 rows surface NULL for the added
+    column. The ingest reality at 100 TB: a petabyte lake is never one
+    schema, and the engine must widen on read rather than rewrite
+    history. The per-lang audit proves both the union schema and the
+    null-fill semantics.
+
+    Footer merging is a one-time planning cost (driver reads N footers,
+    not data); the scan itself stays a single pushdown-capable parquet
+    source. Result is re-localized before the scratch dir is deleted
+    (sink_partitioned_parquet lifecycle).
+    """
+    d = load(spark, sf_dir, "documents")
+    out = Path(tempfile.mkdtemp(prefix="engine_schemev_"))
+    try:
+        (
+            d.filter(F.col("doc_id") < SCHEMA_V1_MAX_ID)
+            .select("doc_id", "lang")
+            .write.mode("overwrite")
+            .parquet(str(out / "gen=1"))
+        )
+        (
+            d.filter(F.col("doc_id") >= SCHEMA_V1_MAX_ID)
+            .select("doc_id", "lang", "n_chars")
+            .write.mode("overwrite")
+            .parquet(str(out / "gen=2"))
+        )
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            str(out / "gen=1"), str(out / "gen=2")
+        )
+        res = merged.groupBy("lang").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("n_chars").isNull(), 1).otherwise(0)
+            ).alias("n_v1_rows"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).alias("sum_chars"),
+        )
+        return spark.createDataFrame(res.collect(), schema=res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -86,3 +86,44 @@ def test_layout_ops_clean_up_catalog(spark):
         if d.name.startswith("bktdb_")
     ]
     assert leftovers == []
+
+
+def test_hll_drift_within_published_bound(spark):
+    """HLL++ with rsd=0.05 must land within ~3·rsd of the exact count
+    (the published standard-error bound) at two scale factors — the
+    contract that makes the sketch a legitimate 100 TB replacement for
+    exact distinct (agg_hll_drift is declared no-oracle, so this IS
+    its correctness check)."""
+    from engine.seeds7 import HLL_RSD
+
+    for sf in ("/root/testdata/sf0.001", SF_DIR):
+        for r in engine.QUERIES["agg_hll_drift"](spark, sf).collect():
+            assert r["rel_err"] <= 3 * HLL_RSD, (
+                f"{sf} {r['event_type']}: rel_err {r['rel_err']}"
+            )
+            assert r["abs_err"] == r["approx_n"] - r["exact_n"]
+
+
+def test_pareto_crossing_consistent(spark):
+    """days_to_80pct is within [1, n_days] and the top day's share
+    never exceeds 1; a type whose top share ≥ 0.8 must cross at day 1."""
+    rows = engine.QUERIES["win_pareto_days"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 1 <= r["days_to_80pct"] <= r["n_days"]
+        assert 0 < r["top_day_share"] <= 1
+        if r["top_day_share"] >= 0.8:
+            assert r["days_to_80pct"] == 1
+
+
+def test_schema_evolution_null_fill(spark):
+    """The mergeSchema read keeps v1 rows (null n_chars) and v2 rows
+    (populated) — totals must reconcile with the raw documents table."""
+    rows = engine.QUERIES["source_schema_evolution"](spark, SF_DIR).collect()
+    from engine.seeds7 import SCHEMA_V1_MAX_ID
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    n_v1 = docs.filter(F.col("doc_id") < SCHEMA_V1_MAX_ID).count()
+    assert sum(r["n_rows"] for r in rows) == n_docs
+    assert sum(r["n_v1_rows"] for r in rows) == n_v1
