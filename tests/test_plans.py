@@ -566,3 +566,40 @@ def test_dpp_prunes_fact_partitions(spark):
         ) or "o_year" in pf[0]
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_path_topk_takeordered_over_alphabet_agg(spark):
+    """events_path_topk: the global top-k must plan
+    TakeOrderedAndProject (per-partition top-k + driver merge) above a
+    two-phase hash aggregate whose key space is the event-type cube —
+    never a full sort of path rows."""
+    p = plan(spark, "events_path_topk")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_asof_nearest_single_exchange(spark):
+    """ts_asof_nearest: both direction windows AND the per-user
+    aggregate must share ONE user_id exchange — the operator's whole
+    design is that backward and forward nearest-match ride the same
+    sorted pass."""
+    p = plan(spark, "ts_asof_nearest")
+    assert p.count("Exchange (") == 1, "as-of nearest introduced extra shuffles"
+
+
+def test_skew_kurtosis_single_pass(spark):
+    """agg_skew_kurtosis: one exchange, two-phase aggregation — the
+    power sums must be map-combined partials (the whole point of the
+    closed-form rewrite is single-pass streaming moments)."""
+    p = plan(spark, "agg_skew_kurtosis")
+    assert p.count("Exchange (") == 1
+    assert p.count("HashAggregate") >= 2
+
+
+def test_pareto_windows_share_partitioning(spark):
+    """win_pareto_days: the day-grain aggregate shuffles once, then the
+    ranking/cumulative windows and the final per-type aggregate share
+    the event_type partitioning — ≤ 2 exchanges total."""
+    p = plan(spark, "win_pareto_days")
+    assert p.count("Exchange (") <= 2
+    assert "Window" in p and "SinglePartition" not in p
