@@ -285,6 +285,20 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential MIN chain computes — no sequence explosion.
     """
     e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    staged = funnel_staged(e)
+    return staged.groupBy("max_stage").agg(
+        F.count("*").alias("n_users"),
+        pround(F.avg(F.col("us_to_last") / 1000000.0), 2).alias(
+            "avg_secs_to_last"
+        ),
+    )
+
+
+def funnel_staged(e: DataFrame) -> DataFrame:
+    """Greedy staged-funnel core over an events frame (user_id,
+    event_type, ts) → one row per first-step user: (user_id, max_stage,
+    us_to_last). Factored out so the hypothesis suite can drive it with
+    adversarial synthetic streams (tests/test_seeds7_properties.py)."""
     deadline = F.expr(FUNNEL_DEADLINE)
     s1 = (
         e.filter(F.col("event_type") == FUNNEL_STEPS[0])
@@ -305,10 +319,11 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    staged = (
+    return (
         s1.join(s2, "user_id", "left")
         .join(s3, "user_id", "left")
         .select(
+            "user_id",
             F.when(F.col("t3").isNotNull(), 3)
             .when(F.col("t2").isNotNull(), 2)
             .otherwise(1)
@@ -318,12 +333,6 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.unix_micros("t1")
             ).alias("us_to_last"),
         )
-    )
-    return staged.groupBy("max_stage").agg(
-        F.count("*").alias("n_users"),
-        pround(F.avg(F.col("us_to_last") / 1000000.0), 2).alias(
-            "avg_secs_to_last"
-        ),
     )
 
 
@@ -440,6 +449,20 @@ def ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isin("error", "view"))
         .select("user_id", "ts", "event_type", "event_id")
     )
+    gaps = nearest_gaps(ev)
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_errors"),
+        pround(F.avg(F.col("gap_us") / 1000000.0), 4).alias("avg_gap_s"),
+        pround(F.min(F.col("gap_us") / 1000000.0), 4).alias("min_gap_s"),
+    )
+
+
+def nearest_gaps(ev: DataFrame) -> DataFrame:
+    """Bidirectional nearest-view gap core over an interleaved
+    error/view frame (user_id, ts, event_type, event_id) → one row per
+    matchable error: (user_id, gap_us). Factored out so the hypothesis
+    suite can drive it with adversarial synthetic streams
+    (tests/test_seeds7_properties.py)."""
     view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
     order = [F.col("ts"), F.col("event_id")]
     w_back = (
@@ -461,17 +484,12 @@ def ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gp = F.unix_micros("ts") - F.unix_micros("pv")
     gn = F.unix_micros("nv") - F.unix_micros("ts")
-    gaps = x.filter(
+    return x.filter(
         (F.col("event_type") == "error")
         & (F.col("pv").isNotNull() | F.col("nv").isNotNull())
     ).select(
         "user_id",
         F.least(F.coalesce(gp, gn), F.coalesce(gn, gp)).alias("gap_us"),
-    )
-    return gaps.groupBy("user_id").agg(
-        F.count("*").alias("n_errors"),
-        pround(F.avg(F.col("gap_us") / 1000000.0), 4).alias("avg_gap_s"),
-        pround(F.min(F.col("gap_us") / 1000000.0), 4).alias("min_gap_s"),
     )
 
 

@@ -127,3 +127,111 @@ def test_schema_evolution_null_fill(spark):
     n_v1 = docs.filter(F.col("doc_id") < SCHEMA_V1_MAX_ID).count()
     assert sum(r["n_rows"] for r in rows) == n_docs
     assert sum(r["n_v1_rows"] for r in rows) == n_v1
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: funnel + nearest-as-of cores vs pure-Python references on
+# adversarial synthetic streams (ties, deadline edges, missing stages).
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from engine.seeds7 import funnel_staged, nearest_gaps
+
+H_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_T0 = _dt.datetime(2024, 1, 1)
+HOUR_US = 3600 * 1000000
+
+# Offsets in seconds chosen so deadline boundaries (exactly 1 h) occur.
+EVENT = st.tuples(
+    st.integers(min_value=0, max_value=2),  # user
+    st.sampled_from(["view", "click", "purchase", "error"]),
+    st.integers(min_value=0, max_value=7200),  # offset seconds
+)
+
+
+def _mkdf(spark, events):
+    rows = [
+        (u, t, _T0 + _dt.timedelta(seconds=s), i)
+        for i, (u, t, s) in enumerate(events)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+
+
+@given(events=st.lists(EVENT, min_size=1, max_size=14))
+@H_SETTINGS
+def test_funnel_staged_matches_reference(spark, events):
+    """Greedy earliest-transition funnel == the obvious Python loop:
+    t1 = min view; t2 = min click in (t1, t1+1h]; t3 = min purchase in
+    (t2, t2+1h] — including exact-deadline boundary events."""
+    df = _mkdf(spark, events)
+    got = {
+        r["user_id"]: (r["max_stage"], r["us_to_last"])
+        for r in funnel_staged(df).collect()
+    }
+    by_user: dict[int, list] = {}
+    for u, t, s in events:
+        by_user.setdefault(u, []).append((t, s * 1000000))
+    want = {}
+    for u, evs in by_user.items():
+        views = [us for t, us in evs if t == "view"]
+        if not views:
+            continue
+        t1 = min(views)
+        t2 = min(
+            (us for t, us in evs if t == "click" and t1 < us <= t1 + HOUR_US),
+            default=None,
+        )
+        t3 = (
+            min(
+                (
+                    us
+                    for t, us in evs
+                    if t == "purchase" and t2 < us <= t2 + HOUR_US
+                ),
+                default=None,
+            )
+            if t2 is not None
+            else None
+        )
+        stage = 3 if t3 is not None else (2 if t2 is not None else 1)
+        last = t3 if t3 is not None else (t2 if t2 is not None else t1)
+        want[u] = (stage, last - t1)
+    assert got == want
+
+
+@given(events=st.lists(EVENT, min_size=1, max_size=14))
+@H_SETTINGS
+def test_nearest_gaps_match_reference(spark, events):
+    """Bidirectional nearest-view gap per error == min |Δt| over all
+    same-user views (the windowed rewrite must equal the naive
+    quadratic definition), for every error with ≥1 same-user view."""
+    df = _mkdf(spark, [e for e in events]).filter(
+        F.col("event_type").isin("error", "view")
+    )
+    got = sorted(
+        (r["user_id"], r["gap_us"]) for r in nearest_gaps(df).collect()
+    )
+    by_user: dict[int, dict[str, list]] = {}
+    for u, t, s in events:
+        if t in ("error", "view"):
+            by_user.setdefault(u, {"error": [], "view": []})[t].append(
+                s * 1000000
+            )
+    want = sorted(
+        (u, min(abs(e - v) for v in d["view"]))
+        for u, d in by_user.items()
+        if d["view"]
+        for e in d["error"]
+    )
+    assert got == want
