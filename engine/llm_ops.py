@@ -124,8 +124,10 @@ def packed_token_sets(
         )
         .localCheckpoint(eager=True)
     )
-    # tiny driver scalar (max per-language vocabulary) sizes the bitset
-    max_vocab = vocab.agg(F.max("tokid")).first()[0] + 1
+    # tiny driver scalar (max per-language vocabulary) sizes the bitset;
+    # empty corpus → width-1 masks (nothing to pack, joins stay empty)
+    max_tokid = vocab.agg(F.max("tokid")).first()[0]
+    max_vocab = (max_tokid if max_tokid is not None else 0) + 1
     n_words = (max_vocab + 63) // 64
     word_masks = (
         tok.join(F.broadcast(vocab), ["lang", "token"])
@@ -152,6 +154,14 @@ def packed_token_sets(
         )
         .drop("wm")
     )
+
+
+def mask_width(packed: DataFrame) -> int:
+    """Fixed bitset width (a driver scalar) of a packed_token_sets
+    frame; 1 on an empty corpus so downstream popcount unrolls stay
+    well-formed while every join remains empty."""
+    row = packed.select("mask").first()
+    return len(row[0]) if row is not None else 1
 
 
 def bitset_intersection(ma: str, mb: str, n_words: int | None = None) -> Column:
@@ -311,7 +321,7 @@ def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache/checkpoint) — both join sides and the broadcast would
     # otherwise each recompute the explode+pack lineage.
     packed = packed_token_sets(tok).localCheckpoint(eager=True)
-    n_words = len(packed.select("mask").first()[0])
+    n_words = mask_width(packed)
     a = packed.select(
         F.col("doc_id").alias("doc_a"),
         "lang",

@@ -36,6 +36,7 @@ from pyspark.sql.window import Window as W
 from engine.det import pround
 from engine.llm_ops import (
     bitset_intersection,
+    mask_width,
     nondet_zero,
     packed_token_sets,
     tokens,
@@ -158,7 +159,7 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = packed_token_sets(
         char_shingles(d), materialize_input=True
     ).localCheckpoint(eager=True)
-    n_words = len(packed.select("mask").first()[0])
+    n_words = mask_width(packed)
     a = packed.select(
         F.col("doc_id").alias("doc_a"),
         "lang",

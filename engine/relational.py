@@ -166,7 +166,10 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_year"
         ).parquet(str(out))
         one_year = (
-            spark.read.parquet(str(out))
+            # Explicit schema on the read-back: an empty source writes
+            # no partition dirs, and schema inference would fail where
+            # an empty-but-typed frame is the right answer.
+            spark.read.schema(orders.schema).parquet(str(out))
             .filter(F.col("o_year") == 1998)
             .groupBy("o_orderstatus")
             .agg(

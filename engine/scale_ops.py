@@ -234,7 +234,10 @@ def _emb_dim(emb: DataFrame) -> int:
     hardcoded constant: ``zip_with`` null-pads on length mismatch, so a
     fixture dim change would silently zero the hyperplane dots instead
     of failing loudly (ADVICE r1)."""
-    return len(emb.select("embedding").first()[0])
+    row = emb.select("embedding").first()
+    # Empty corpus: any positive width works — every consumer's joins
+    # and blocks stay empty; 1 keeps plane/centroid expressions tiny.
+    return len(row[0]) if row is not None else 1
 
 
 def _hyperplane_dot(k: int, dim: int) -> Column:
@@ -379,6 +382,12 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if emb.count() > BROADCAST_MAX_VECS:
         return _embedding_neardup_banded(emb, _emb_dim(emb))
     side = emb.select("vec_id", "embedding").toPandas()
+    if side.empty:
+        # np.stack needs ≥1 row; an empty corpus has no pairs by
+        # definition — return the empty frame with the same schema.
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
     ids = side["vec_id"].to_numpy(dtype=np.int64)
     mat = np.stack(side["embedding"].to_numpy()).astype(np.float64)
     sq = (mat * mat).sum(axis=1)
@@ -387,6 +396,8 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_b, mat_b, sq_b = b_side.value
         for pdf in batches:
+            if pdf.empty:  # empty Arrow batch: np.stack needs ≥1 row
+                continue
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             # Same arithmetic as the oracle: raw dot / (√Σa²·√Σb²) in f64

@@ -180,7 +180,10 @@ def build_dpp_join(spark: SparkSession, sf_dir: str, out: Path) -> DataFrame:
         .partitionBy("o_year")
         .parquet(str(out))
     )
-    fact = spark.read.parquet(str(out))
+    # Explicit schema: an empty source writes no partition dirs, and
+    # schema inference would fail where an empty-but-typed frame is
+    # the right answer.
+    fact = spark.read.schema(orders.schema).parquet(str(out))
     # Dim with a selective filter: DPP plants the dim's build-side keys
     # as a runtime PartitionFilter on the fact scan, so only the
     # matching year directories are read at all.

@@ -138,6 +138,14 @@ def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The store dir stays (uuid-named scratch, same lifecycle as the
     # csv/json/orc roundtrip sinks) so the returned plan reads it lazily.
+    if not store.exists():
+        # Every micro-batch was empty (empty source): the merged state
+        # is the empty keyed store, not a read error.
+        return spark.createDataFrame(
+            [],
+            "window_start timestamp, event_type string,"
+            " n_events bigint, sum_value double",
+        )
     return spark.read.parquet(str(store)).select(
         "window_start",
         "event_type",
