@@ -252,8 +252,11 @@ N_HIST_BINS = 10
     WITH r AS (
       SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
     )
-    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / {N_HIST_BINS})),
-                      {N_HIST_BINS - 1}) AS INT) AS bucket,
+    SELECT CAST(CASE WHEN hi > lo
+                     THEN LEAST(FLOOR((o_totalprice - lo)
+                                      / ((hi - lo) / {N_HIST_BINS})),
+                                {N_HIST_BINS - 1})
+                     ELSE 0 END AS INT) AS bucket,
            COUNT(*) AS n_orders,
            ROUND(MIN(o_totalprice), 2) AS min_price,
            ROUND(MAX(o_totalprice), 2) AS max_price,
@@ -280,10 +283,19 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
     width = (F.col("hi") - F.col("lo")) / N_HIST_BINS
-    bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.col("lo")) / width),
-        F.lit(N_HIST_BINS - 1),
-    ).cast("int")
+    # Degenerate range (all values equal — e.g. a 1-row slice): every
+    # row lands in bucket 0 instead of dividing by a zero width.
+    bucket = (
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+                F.lit(N_HIST_BINS - 1),
+            ),
+        )
+        .otherwise(0)
+        .cast("int")
+    )
     return (
         o.crossJoin(F.broadcast(rng))
         .select(bucket.alias("bucket"), "o_totalprice")

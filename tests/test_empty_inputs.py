@@ -38,8 +38,28 @@ def empty_sf_dir(tmp_path_factory):
     return str(out)
 
 
+@pytest.fixture(scope="session")
+def onerow_sf_dir(tmp_path_factory):
+    """First row of every fixture table: the degenerate-statistics twin
+    (min == max ranges, single-member groups, no joinable FK partners)
+    that crashes range math the empty twin short-circuits past — caught
+    agg_histogram's zero-width-bucket divide in round 5."""
+    out = tmp_path_factory.mktemp("onerow_sf")
+    for t in TABLES:
+        src = pathlib.Path(SF_DIR) / f"{t}.parquet"
+        pq.write_table(pq.read_table(src).slice(0, 1), out / f"{t}.parquet")
+    return str(out)
+
+
 @pytest.mark.parametrize("qid", ALL_IDS)
 def test_query_survives_empty_input(spark, empty_sf_dir, qid):
     df = engine.QUERIES[qid](spark, empty_sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("qid", ALL_IDS)
+def test_query_survives_single_row_input(spark, onerow_sf_dir, qid):
+    df = engine.QUERIES[qid](spark, onerow_sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
