@@ -80,6 +80,7 @@ from engine import windows as windows  # noqa: F401
 # window on purpose (the 50-row cap is spoken for by seeds5-7) — oracled
 # and locally differential-tested now; rotate FIRST next round.
 from engine import seeds8 as seeds8  # noqa: F401
+from engine import seeds9 as seeds9  # noqa: F401
 
 # Deferred (callable) oracles compose other registered oracles; resolve
 # them now that every module has imported.

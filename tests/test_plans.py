@@ -352,7 +352,18 @@ def test_no_scale_red_flags_any_query(spark):
                # 1-row (total, k) global-token aggregate broadcast
                # into the per-source epoch planner (engine/seeds8.py
                # llm_mixture_epochs)
-               "llm_mixture_epochs"}
+               "llm_mixture_epochs",
+               # constant-bounded sketch plumbing: 4-row hash grid ×
+               # fact (equi-agg), then 5-probe × 4-row × 256-cell
+               # lookups (engine/seeds9.py agg_countmin_sketch)
+               "agg_countmin_sketch",
+               # 10-pair literal grid × ≤2⁵-row mask histogram
+               # (engine/seeds9.py events_user_overlap_jaccard)
+               "events_user_overlap_jaccard",
+               # absolutely-capped (doc_id<100) witness pair join —
+               # the VERDICT-r3 witness rule (engine/seeds9.py
+               # llm_edit_distance_dedup)
+               "llm_edit_distance_dedup"}
     # An unpartitioned window is acceptable only over metadata-bounded
     # input. Currently empty: round 1's entries (llm_jaccard_neardup,
     # llm_lsh_neardup) no longer plan any Window at all, and keeping
@@ -447,8 +458,9 @@ def test_no_untested_op_registers_past_window():
     50-row correctness cap. Every registered qid must either (a) already
     have a driver row in some CORRECTNESS_r*.json, (b) sit inside this
     round's first-50 window, or (c) be a DECLARED next-round seed
-    (module engine.seeds8 — registered past the window on purpose, with
-    local differential coverage standing in until rotation)."""
+    (modules engine.seeds8/seeds9 — registered past the window on
+    purpose, with local differential coverage standing in until
+    rotation)."""
     import glob
     import json
     import os
@@ -464,7 +476,7 @@ def test_no_untested_op_registers_past_window():
         if i < 50 or qid in driver_checked:
             continue
         mod = engine.QUERIES[qid].__module__
-        assert mod in ("engine.seeds8",), (
+        assert mod in ("engine.seeds8", "engine.seeds9"), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "
             "seed — it would be silently untested"

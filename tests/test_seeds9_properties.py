@@ -1,0 +1,106 @@
+"""Round-9 seed behavioral checks (SURVEY.md §5 layers 2/4): sketch
+guarantees, recursion bounds, weighted-median invariants, and the
+metadata-audit cross-check against DuckDB's parquet_metadata() that
+stands in for source_rowgroup_stats' (impossible) view-level oracle.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import engine
+from tests.conftest import SF_DIR
+
+
+def test_countmin_never_underestimates(spark):
+    """The Count-Min guarantee: est ≥ exact for every probe (the oracled
+    flag re-checked as a property, not just a hash match)."""
+    pdf = engine.QUERIES["agg_countmin_sketch"](spark, SF_DIR).toPandas()
+    assert len(pdf) == 5
+    assert (pdf["cm_est"] >= pdf["n_exact"]).all()
+    assert (pdf["overestimates"] == 1).all()
+
+
+def test_recursive_hierarchy_depth_bounded(spark):
+    """Chain depth is bounded by log₇(max part key) — recursion must
+    terminate well under any engine iteration cap."""
+    import math
+
+    pdf = engine.QUERIES["sql_recursive_hierarchy"](spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    max_key = pdf["start_key"].max()
+    bound = int(math.log(max(max_key, 7), 7)) + 1
+    assert pdf["chain_depth"].max() <= bound
+
+
+def test_weighted_median_is_attained_and_central(spark):
+    """The weighted median must be an attained price, and at least half
+    the total weight must sit at-or-below it."""
+    pdf = engine.QUERIES["agg_weighted_median"](spark, SF_DIR).toPandas()
+    from engine.session import load
+    import pyspark.sql.functions as F
+
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    for _, row in pdf.iterrows():
+        flag, med, tw = (
+            row["l_returnflag"],
+            int(row["wmedian_cents"]),
+            int(row["total_weight"]),
+        )
+        part = li.filter(F.col("l_returnflag") == flag)
+        attained = part.filter(F.col("price_c") == med).count()
+        below = (
+            part.filter(F.col("price_c") <= med)
+            .agg(F.sum("w"))
+            .collect()[0][0]
+        )
+        assert attained > 0, f"{flag}: median not an attained price"
+        assert 2 * below >= tw, f"{flag}: not a median"
+
+
+def test_rowgroup_stats_match_duckdb_metadata(spark):
+    """source_rowgroup_stats is declared rows-only (no view-level oracle
+    can see file layout); cross-check it against DuckDB's
+    parquet_metadata() of the same file instead."""
+    pdf = (
+        engine.QUERIES["source_rowgroup_stats"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("row_group")
+        .reset_index(drop=True)
+    )
+    meta = duckdb.sql(
+        f"""
+        SELECT row_group_id, row_group_num_rows,
+               CAST(stats_min_value AS BIGINT) AS mn,
+               CAST(stats_max_value AS BIGINT) AS mx
+        FROM parquet_metadata('{SF_DIR}/lineitem.parquet')
+        WHERE path_in_schema = 'l_orderkey'
+        ORDER BY row_group_id
+        """
+    ).fetchdf()
+    assert len(pdf) == len(meta)
+    assert (pdf["n_rows"].values == meta["row_group_num_rows"].values).all()
+    assert (pdf["min_orderkey"].values == meta["mn"].values).all()
+    assert (pdf["max_orderkey"].values == meta["mx"].values).all()
+
+
+def test_overlap_jaccard_bounds(spark):
+    """0 ≤ J ≤ 1 for all 10 pairs; intersection ≤ union."""
+    pdf = engine.QUERIES["events_user_overlap_jaccard"](
+        spark, SF_DIR
+    ).toPandas()
+    assert len(pdf) == 10
+    assert (pdf["n_both"] <= pdf["n_either"]).all()
+    assert ((pdf["jaccard"] >= 0) & (pdf["jaccard"] <= 1)).all()
+
+
+def test_hll_merge_consistent_flag(spark):
+    pdf = engine.QUERIES["agg_hll_sketch_mergeable"](spark, SF_DIR).toPandas()
+    assert (pdf["merge_consistent"] == 1).all()
