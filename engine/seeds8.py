@@ -282,6 +282,13 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "day")
         .agg(F.max_by("c", "ts").alias("close_c"))
     )
+    return interpolate_core(d)
+
+
+def interpolate_core(d: DataFrame) -> DataFrame:
+    """The lead()+sequence gap-segment interpolation over any day-grain
+    frame (user_id, day, close_c) — factored for the hypothesis
+    reference check (tests/test_seeds89_refchecks.py)."""
     w = W.partitionBy("user_id").orderBy("day")
     seg = d.select(
         "user_id",
@@ -530,7 +537,15 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern). Ties broken by the unique (ts, event_id) order on both
     engines.
     """
-    e = load(spark, sf_dir, "events").repartition("user_id")
+    return running_distinct_core(
+        load(spark, sf_dir, "events").repartition("user_id")
+    )
+
+
+def running_distinct_core(e: DataFrame) -> DataFrame:
+    """The marker+running-sum rewrite over any events-shaped frame
+    (event_id, user_id, ts, event_type) — factored for the hypothesis
+    reference check (tests/test_seeds89_refchecks.py)."""
     w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     w_run = (
         W.partitionBy("user_id")
@@ -615,6 +630,13 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "day")
         .agg(F.max_by("c", "ts").alias("close_c"))
     )
+    return ewma_core(d)
+
+
+def ewma_core(d: DataFrame) -> DataFrame:
+    """The truncated dyadic-weight EWMA over any day-grain frame
+    (user_id, day, close_c) — factored for the hypothesis reference
+    check (tests/test_seeds89_refchecks.py)."""
     w = W.partitionBy("user_id").orderBy("day")
     num = None
     den = None

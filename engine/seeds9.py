@@ -410,29 +410,38 @@ def source_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+HLL_MERGE_REL_BOUND = 0.10  # ≫ 3σ of the lgK=12 default rsd (~1.6 %)
+
+
 @query(
     "agg_hll_sketch_mergeable",
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           CAST(1 AS INT) AS merge_consistent
+           CAST(1 AS INT) AS merged_within_bound,
+           CAST(1 AS INT) AS single_within_bound
     FROM events GROUP BY 1
     """,
 )
 def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasketches-HLL mergeability audit (`hll_sketch_agg` /
     `hll_union_agg` — Spark 4's portable sketch surface): per event
-    type, the estimate from per-day sketches UNIONED up must equal the
-    single-pass sketch estimate — the invariance that lets 100 TB
-    rollups keep fixed-width sketch state per partition/day and merge
-    upward without re-scanning (the sketch twin of agg_bitmap_distinct's
-    exact bitmaps).
+    type, per-day sketches UNIONED up and the single-pass sketch must
+    BOTH estimate the true cardinality within the error envelope — the
+    property that lets 100 TB rollups keep fixed-width sketch state per
+    partition/day and merge upward without re-scanning (the sketch twin
+    of agg_bitmap_distinct's exact bitmaps).
 
-    The oracle pins the exact distinct count and asserts the
-    merge-consistency FLAG (engine-internal invariance — DuckDB ships a
-    different HLL, so the estimates themselves are rows-only territory;
-    agg_hll_drift already audits estimate error). Both sketch passes are
-    map-combined with fixed-width partial state.
+    The audited invariant is deliberately the ERROR BOUND, not
+    merged == single: the two paths ARE bit-identical while sketches
+    stay in sparse mode (sf0.001/sf0.01 fixtures) but diverge once
+    promotion to dense HLL happens on different merge orders (observed
+    at sf0.1, 1500 users/type — merged 1500 vs single estimates a few
+    counts apart). Pinning equality would encode a small-cardinality
+    accident as a contract. The 10 % bound is ≫ the published 3σ for
+    lgK = 12 (~5 %), so the flags are deterministic at every fixture
+    SF; agg_hll_drift audits the actual error magnitude. Both sketch
+    passes are map-combined with fixed-width partial state.
     """
     e = load(spark, sf_dir, "events")
     per_day = e.groupBy(
@@ -447,12 +456,17 @@ def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_distinct("user_id").alias("exact_users"),
     )
+    exact = F.col("exact_users").cast("double")
+    bound = F.lit(HLL_MERGE_REL_BOUND) * exact
     return merged.join(F.broadcast(single), "event_type").select(
         "event_type",
         F.col("exact_users").cast("bigint"),
-        (F.col("est_merged") == F.col("est_single")).cast("int").alias(
-            "merge_consistent"
-        ),
+        (F.abs(F.col("est_merged") - exact) <= bound)
+        .cast("int")
+        .alias("merged_within_bound"),
+        (F.abs(F.col("est_single") - exact) <= bound)
+        .cast("int")
+        .alias("single_within_bound"),
     )
 
 
@@ -695,6 +709,13 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_c"),
         F.col("l_quantity").cast("bigint").alias("w"),
     )
+    return weighted_median_core(r)
+
+
+def weighted_median_core(r: DataFrame) -> DataFrame:
+    """The integer crossing-rule weighted median over any
+    (l_returnflag, price_c, w) frame — factored for the hypothesis
+    reference check (tests/test_seeds89_refchecks.py)."""
     w_cum = (
         W.partitionBy("l_returnflag")
         .orderBy("price_c")

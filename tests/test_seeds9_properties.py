@@ -101,6 +101,7 @@ def test_overlap_jaccard_bounds(spark):
     assert ((pdf["jaccard"] >= 0) & (pdf["jaccard"] <= 1)).all()
 
 
-def test_hll_merge_consistent_flag(spark):
+def test_hll_merge_within_bound_flags(spark):
     pdf = engine.QUERIES["agg_hll_sketch_mergeable"](spark, SF_DIR).toPandas()
-    assert (pdf["merge_consistent"] == 1).all()
+    assert (pdf["merged_within_bound"] == 1).all()
+    assert (pdf["single_within_bound"] == 1).all()
