@@ -309,6 +309,11 @@ def test_no_scale_red_flags_any_query(spark):
         # writes + compacts a scratch copy (and collects the audit
         # checksums) before returning its 1-row report
         "sink_compaction",
+        # XML write→read roundtrip materialized before the scratch dir
+        # is removed (engine/seeds10.py)
+        "source_xml_roundtrip",
+        # two codec writes + checksum collects (engine/seeds10.py)
+        "sink_codec_audit",
     }
     # BroadcastNestedLoopJoin is correct when the broadcast side is
     # constant-bounded: a 1-row corpus-count, a ≤10-row probe set, a
@@ -476,7 +481,7 @@ def test_no_untested_op_registers_past_window():
         if i < 50 or qid in driver_checked:
             continue
         mod = engine.QUERIES[qid].__module__
-        assert mod in ("engine.seeds8", "engine.seeds9"), (
+        assert mod in ("engine.seeds8", "engine.seeds9", "engine.seeds10"), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "
             "seed — it would be silently untested"
