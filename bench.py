@@ -88,6 +88,29 @@ def warmup(spark, sf_dir: str) -> None:
         for fmt in ("csv", "json", "orc"):
             two.write.mode("overwrite").format(fmt).save(f"{scratch}/{fmt}")
             spark.read.format(fmt).load(f"{scratch}/{fmt}").collect()
+        # Spark 4 built-in XML datasource: separate reader/writer init
+        # path from the row-based formats above (source_xml_roundtrip).
+        two.write.mode("overwrite").format("xml").option(
+            "rowTag", "r"
+        ).save(f"{scratch}/xml")
+        (
+            spark.read.format("xml")
+            .option("rowTag", "r")
+            .schema("x long")
+            .load(f"{scratch}/xml")
+            .collect()
+        )
+        # Datasketches HLL + recursive-CTE (UnionLoopExec) first-use
+        # class loading (agg_hll_sketch_mergeable, sql_recursive_*).
+        force(
+            two.agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("x")).alias("e")
+            )
+        )
+        spark.sql(
+            "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+            "SELECT n + 1 FROM t WHERE n < 3) SELECT SUM(n) FROM t"
+        ).collect()
         # First saveAsTable initializes the session-catalog + table
         # commit machinery (~2-4 s observed) — one-time cost otherwise
         # charged to join_bucketed_colocated's scratch database.

@@ -167,14 +167,20 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = spark.createDataFrame(
         [(j, a, b) for j, (a, b) in enumerate(CMS_ROWS)], "j int, a long, b long"
     )
+    # Hot path: the 4 bucket ids are computed INLINE per row and
+    # posexploded — whole-stage-codegen arithmetic + one map-combined
+    # aggregation, no join at all on the fact side (the crossJoin
+    # formulation lives on in the oracle; measured ~2× on the
+    # fact-side stage). The tiny BNLJ below touches only the 5-probe ×
+    # 4-row × 256-cell metadata grids.
+    buckets = F.array(
+        *[
+            (((F.lit(a) * F.col("user_id") + F.lit(b)) % CMS_P) % CMS_W)
+            for a, b in CMS_ROWS
+        ]
+    )
     counters = (
-        e.crossJoin(F.broadcast(h))
-        .select(
-            "j",
-            (((F.col("a") * F.col("user_id") + F.col("b")) % CMS_P) % CMS_W).alias(
-                "bucket"
-            ),
-        )
+        e.select(F.posexplode(buckets).alias("j", "bucket"))
         .groupBy("j", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
