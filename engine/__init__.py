@@ -82,6 +82,7 @@ from engine import windows as windows  # noqa: F401
 from engine import seeds8 as seeds8  # noqa: F401
 from engine import seeds9 as seeds9  # noqa: F401
 from engine import seeds10 as seeds10  # noqa: F401
+from engine import seeds11 as seeds11  # noqa: F401
 
 # Deferred (callable) oracles compose other registered oracles; resolve
 # them now that every module has imported.

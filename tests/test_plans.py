@@ -481,7 +481,12 @@ def test_no_untested_op_registers_past_window():
         if i < 50 or qid in driver_checked:
             continue
         mod = engine.QUERIES[qid].__module__
-        assert mod in ("engine.seeds8", "engine.seeds9", "engine.seeds10"), (
+        assert mod in (
+            "engine.seeds8",
+            "engine.seeds9",
+            "engine.seeds10",
+            "engine.seeds11",
+        ), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "
             "seed — it would be silently untested"

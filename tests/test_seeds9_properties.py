@@ -101,6 +101,39 @@ def test_overlap_jaccard_bounds(spark):
     assert ((pdf["jaccard"] >= 0) & (pdf["jaccard"] <= 1)).all()
 
 
+def test_arrow_udf_uses_arrow_eval_path(spark):
+    """udf(useArrow=True) must plan as ArrowEvalPython — the Spark 4
+    Arrow-optimized scalar path, distinct from BatchEvalPython (pickled)
+    and the pandas UDF path (engine/seeds11.py udf_arrow_scalar)."""
+    p = (
+        engine.QUERIES["udf_arrow_scalar"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in p, p
+    assert "BatchEvalPython" not in p, "fell back to the pickled path"
+
+
+def test_regr_r2_equals_corr_squared(spark):
+    """Cross-operator invariant: regr_r2 must equal the square of the
+    Pearson correlation for the same (x, y) — ties agg_regr_family to
+    the corr machinery."""
+    from engine.session import load
+    import pyspark.sql.functions as F
+
+    e = load(spark, SF_DIR, "events").select(
+        F.hour("ts").cast("double").alias("x"),
+        (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double") / 100).alias(
+            "y"
+        ),
+    )
+    row = e.agg(
+        F.regr_r2("y", "x").alias("r2"), F.corr("y", "x").alias("c")
+    ).collect()[0]
+    assert abs(row["r2"] - row["c"] ** 2) < 1e-9
+
+
 def test_hll_merge_within_bound_flags(spark):
     pdf = engine.QUERIES["agg_hll_sketch_mergeable"](spark, SF_DIR).toPandas()
     assert (pdf["merged_within_bound"] == 1).all()
