@@ -76,13 +76,17 @@ from engine import relational as relational  # noqa: F401
 from engine import functions as functions  # noqa: F401
 from engine import windows as windows  # noqa: F401
 
-# Round-6 seeds (next rotation): registered past this round's correctness
-# window on purpose (the 50-row cap is spoken for by seeds5-7) — oracled
-# and locally differential-tested now; rotate FIRST next round.
+# Next-rotation seeds (rounds 8-11, 41 ops): registered past this
+# round's correctness window on purpose (the 50-row cap is spoken for
+# by seeds5-7) — oracled and locally differential-tested at
+# sf0.001/0.01/0.1 now; rotate FIRST next round (they exceed one
+# 50-row window, so the rotation spans two rounds: seeds8+seeds9+10
+# re-checks first, then seeds10+seeds11).
 from engine import seeds8 as seeds8  # noqa: F401
 from engine import seeds9 as seeds9  # noqa: F401
 from engine import seeds10 as seeds10  # noqa: F401
 from engine import seeds11 as seeds11  # noqa: F401
+from engine import seeds12 as seeds12  # noqa: F401
 
 # Deferred (callable) oracles compose other registered oracles; resolve
 # them now that every module has imported.

@@ -368,7 +368,13 @@ def test_no_scale_red_flags_any_query(spark):
                # absolutely-capped (doc_id<100) witness pair join —
                # the VERDICT-r3 witness rule (engine/seeds9.py
                # llm_edit_distance_dedup)
-               "llm_edit_distance_dedup"}
+               "llm_edit_distance_dedup",
+               # 2-row lag-constant grid broadcast into the day-grain
+               # rollup (engine/seeds12.py ts_autocorr)
+               "ts_autocorr",
+               # 1-row digit-total aggregate broadcast into the 9-row
+               # histogram (engine/seeds12.py agg_benford_audit)
+               "agg_benford_audit"}
     # An unpartitioned window is acceptable only over metadata-bounded
     # input. Currently empty: round 1's entries (llm_jaccard_neardup,
     # llm_lsh_neardup) no longer plan any Window at all, and keeping
@@ -486,6 +492,7 @@ def test_no_untested_op_registers_past_window():
             "engine.seeds9",
             "engine.seeds10",
             "engine.seeds11",
+            "engine.seeds12",
         ), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "
