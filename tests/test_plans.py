@@ -314,6 +314,9 @@ def test_no_scale_red_flags_any_query(spark):
         "source_xml_roundtrip",
         # two codec writes + checksum collects (engine/seeds10.py)
         "sink_codec_audit",
+        # scratch saveAsTable + ANALYZE + catalog read-back
+        # (engine/seeds13.py)
+        "maint_analyze_stats",
     }
     # BroadcastNestedLoopJoin is correct when the broadcast side is
     # constant-bounded: a 1-row corpus-count, a ≤10-row probe set, a
@@ -374,7 +377,11 @@ def test_no_scale_red_flags_any_query(spark):
                "ts_autocorr",
                # 1-row digit-total aggregate broadcast into the 9-row
                # histogram (engine/seeds12.py agg_benford_audit)
-               "agg_benford_audit"}
+               "agg_benford_audit",
+               # k-grid × active-days-histogram tail-sum product, both
+               # sides metadata-sized (engine/seeds13.py
+               # events_survival_curve)
+               "events_survival_curve"}
     # An unpartitioned window is acceptable only over metadata-bounded
     # input. Currently empty: round 1's entries (llm_jaccard_neardup,
     # llm_lsh_neardup) no longer plan any Window at all, and keeping
@@ -493,6 +500,7 @@ def test_no_untested_op_registers_past_window():
             "engine.seeds10",
             "engine.seeds11",
             "engine.seeds12",
+            "engine.seeds13",
         ), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "
