@@ -65,10 +65,13 @@ def _autocorr_oracle() -> str:
       FROM p GROUP BY 1, 2
     )
     SELECT event_type, CAST(lag_k AS INT) AS lag_k, n,
-           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+           ROUND(CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                           * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                           = 0 THEN NULL
+                 ELSE (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
                  / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
-                 6) AS autocorr
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+                 END, 6) AS autocorr
     FROM m
     """
 
@@ -95,8 +98,16 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.sum("c").alias("v"))
     )
+    return autocorr_core(d, AUTOCORR_LAGS)
+
+
+def autocorr_core(d: DataFrame, lag_ks=AUTOCORR_LAGS) -> DataFrame:
+    """The exact-moment lag correlation over any day-grain frame
+    (event_type, day, v) — factored for the hypothesis reference check
+    (tests/test_seeds1213_refchecks.py)."""
+    spark = d.sparkSession
     lags = spark.createDataFrame(
-        [(k,) for k in AUTOCORR_LAGS], "lag_k int"
+        [(int(k),) for k in lag_ks], "lag_k int"
     )
     a = d.select("event_type", "day", F.col("v").alias("x"))
     b = d.select(
@@ -126,11 +137,14 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * F.col("sxx").cast("double") - sx * F.col("sx"))
         * (n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
     )
+    # try_divide: a zero-variance (constant) series has den = 0 — NULL,
+    # not an ANSI divide-by-zero abort (hypothesis-caught; fixtures
+    # never produce constant daily series but real data can).
     return m.select(
         "event_type",
         F.col("lag_k").cast("int"),
         F.col("n").cast("bigint"),
-        pround(num / den, 6).alias("autocorr"),
+        pround(F.try_divide(num, den), 6).alias("autocorr"),
     )
 
 
@@ -189,6 +203,13 @@ def ts_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.sum("c").alias("v"))
     )
+    return cusum_core(d)
+
+
+def cusum_core(d: DataFrame) -> DataFrame:
+    """The common-denominator-scaled CUSUM argmax over any day-grain
+    frame (event_type, day, v) — factored for the hypothesis reference
+    check."""
     g = d.groupBy("event_type").agg(
         F.sum("v").alias("tot"), F.count("*").alias("nd")
     )
@@ -328,6 +349,12 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     u = e.groupBy("event_type", "user_id").agg(F.count("*").alias("x"))
+    return gini_core(u)
+
+
+def gini_core(u: DataFrame) -> DataFrame:
+    """The rank-closed-form Gini over any (event_type, user_id, x)
+    frame — factored for the hypothesis reference check."""
     r = u.select(
         "event_type",
         "x",
