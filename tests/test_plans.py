@@ -317,6 +317,11 @@ def test_no_scale_red_flags_any_query(spark):
         # scratch saveAsTable + ANALYZE + catalog read-back
         # (engine/seeds13.py)
         "maint_analyze_stats",
+        # noop-sink write to materialize the observed metrics
+        # (engine/seeds14.py)
+        "df_observe_metrics",
+        # CACHE TABLE ... UNCACHE lifecycle + collect (engine/seeds14.py)
+        "maint_cache_table",
     }
     # BroadcastNestedLoopJoin is correct when the broadcast side is
     # constant-bounded: a 1-row corpus-count, a ≤10-row probe set, a
@@ -501,6 +506,7 @@ def test_no_untested_op_registers_past_window():
             "engine.seeds11",
             "engine.seeds12",
             "engine.seeds13",
+            "engine.seeds14",
         ), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "

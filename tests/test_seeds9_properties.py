@@ -138,3 +138,42 @@ def test_hll_merge_within_bound_flags(spark):
     pdf = engine.QUERIES["agg_hll_sketch_mergeable"](spark, SF_DIR).toPandas()
     assert (pdf["merged_within_bound"] == 1).all()
     assert (pdf["single_within_bound"] == 1).all()
+
+
+def test_cache_table_reads_inmemory_relation(spark):
+    """The cached read inside maint_cache_table must come from the
+    columnar in-memory store — pin InMemoryRelation on a fresh CACHE
+    TABLE of the same shape (engine/seeds14.py)."""
+    from engine.session import load
+    import pyspark.sql.functions as F
+
+    e = load(spark, SF_DIR, "events").select("event_type")
+    e.createOrReplaceTempView("pin_cache_src")
+    try:
+        spark.sql("CACHE TABLE pin_cache_c AS SELECT * FROM pin_cache_src")
+        p = (
+            spark.table("pin_cache_c")
+            .groupBy("event_type")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemory" in p, p
+    finally:
+        spark.sql("UNCACHE TABLE IF EXISTS pin_cache_c")
+        spark.catalog.dropTempView("pin_cache_src")
+
+
+def test_named_parameters_fold_and_push_down(spark):
+    """Bound :parameters must fold to literals and reach the parquet
+    scan as pushed filters (engine/seeds14.py sql_named_parameters)."""
+    p = (
+        engine.QUERIES["sql_named_parameters"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in p
+    pushed = p.split("PushedFilters:")[1].split("]")[0]
+    assert "event_type" in pushed, pushed
