@@ -76,12 +76,13 @@ from engine import relational as relational  # noqa: F401
 from engine import functions as functions  # noqa: F401
 from engine import windows as windows  # noqa: F401
 
-# Next-rotation seeds (rounds 8-11, 41 ops): registered past this
+# Next-rotation seeds (rounds 8-14, 54 ops): registered past this
 # round's correctness window on purpose (the 50-row cap is spoken for
 # by seeds5-7) — oracled and locally differential-tested at
-# sf0.001/0.01/0.1 now; rotate FIRST next round (they exceed one
-# 50-row window, so the rotation spans two rounds: seeds8+seeds9+10
-# re-checks first, then seeds10+seeds11).
+# sf0.001/0.01/0.1 now; rotate FIRST next round. They exceed one
+# 50-row window, so the rotation spans two rounds: seeds8(15)+
+# seeds9(10)+seeds10(10)+seeds11(6)+seeds12(4) = 45 first (5 slots
+# left for re-checks), then seeds13(4)+seeds14(5) with the balance.
 from engine import seeds8 as seeds8  # noqa: F401
 from engine import seeds9 as seeds9  # noqa: F401
 from engine import seeds10 as seeds10  # noqa: F401
