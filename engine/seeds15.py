@@ -119,7 +119,7 @@ def ts_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MD5(text) AS h, doc_id, n_chars FROM documents
     ), g AS (
       SELECT h, CAST(COUNT(*) AS BIGINT) AS cluster_size,
-             CAST(MAX_BY(doc_id, (n_chars, -doc_id)) AS BIGINT)
+             CAST(MAX_BY(doc_id, n_chars * 100000000 - doc_id) AS BIGINT)
                AS survivor_longest,
              CAST(MIN(doc_id) AS BIGINT) AS survivor_minid
       FROM c GROUP BY 1
@@ -138,9 +138,10 @@ def llm_survivor_policy_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (longest keeps the most complete copy; min-id keeps the earliest
     crawl).
 
-    max_by with the composite (n_chars, -doc_id) ordering key makes the
-    tie-break deterministic on both engines (MAX_BY over a struct /
-    row-value — the agg_conditional_family-proven mapping). Same
+    max_by over the PACKED key n_chars·10⁸ − doc_id makes the
+    tie-break deterministic on both engines with one bigint comparison
+    (DuckDB's max_by has no row-value ordering; the pack is exact while
+    doc_id < 10⁸ — the agg_conditional_family key-packing trick). Same
     single-shuffle shape as llm_exact_dedup; the policy flag makes the
     rows where the choice MATTERS visible.
     """
@@ -151,7 +152,8 @@ def llm_survivor_policy_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("cluster_size"),
             F.max_by(
-                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")))
+                "doc_id",
+                F.col("n_chars") * F.lit(100000000) - F.col("doc_id"),
             )
             .cast("bigint")
             .alias("survivor_longest"),
@@ -329,6 +331,12 @@ def source_partitioned_read_prune(spark: SparkSession, sf_dir: str) -> DataFrame
     filtered aggregate over the unpartitioned table.
     """
     o = load(spark, sf_dir, "orders")
+    # Empty source: a partitioned write of zero rows emits no partition
+    # directories and the read-back cannot infer a schema — the same
+    # empty-batch class the streaming merge sink guards against
+    # (ADVICE r4). Short-circuit with the declared result schema.
+    if o.isEmpty():
+        return spark.createDataFrame([], "yr int, n bigint, cents bigint")
     tmp = Path(tempfile.mkdtemp(prefix="prune_"))
     try:
         (

@@ -322,6 +322,9 @@ def test_no_scale_red_flags_any_query(spark):
         "df_observe_metrics",
         # CACHE TABLE ... UNCACHE lifecycle + collect (engine/seeds14.py)
         "maint_cache_table",
+        # scratch year-partitioned write before the pruned read
+        # (engine/seeds15.py)
+        "source_partitioned_read_prune",
     }
     # BroadcastNestedLoopJoin is correct when the broadcast side is
     # constant-bounded: a 1-row corpus-count, a ≤10-row probe set, a
@@ -507,6 +510,7 @@ def test_no_untested_op_registers_past_window():
             "engine.seeds12",
             "engine.seeds13",
             "engine.seeds14",
+            "engine.seeds15",
         ), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "

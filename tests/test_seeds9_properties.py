@@ -177,3 +177,50 @@ def test_named_parameters_fold_and_push_down(spark):
     assert "PushedFilters" in p
     pushed = p.split("PushedFilters:")[1].split("]")[0]
     assert "event_type" in pushed, pushed
+
+
+def test_partitioned_read_prunes_to_one_partition(spark):
+    """The year-partitioned re-read with a partition predicate must
+    scan only the matching directory: the pruned scan reports ONE
+    selected partition (engine/seeds15.py source_partitioned_read_prune
+    — the static sibling of join_dpp_prune's dynamic pruning pin)."""
+    import tempfile
+    import shutil
+    from pathlib import Path
+
+    import pyspark.sql.functions as F
+    from engine.seeds15 import PRUNE_YEAR
+    from engine.session import load
+
+    o = load(spark, SF_DIR, "orders")
+    tmp = Path(tempfile.mkdtemp(prefix="prunepin_"))
+    try:
+        o.withColumn("yr", F.year("o_orderdate").cast("int")).write.mode(
+            "overwrite"
+        ).partitionBy("yr").parquet(str(tmp / "p"))
+        back = spark.read.parquet(str(tmp / "p")).filter(
+            F.col("yr") == PRUNE_YEAR
+        )
+        p = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in p
+        assert f"(yr = {PRUNE_YEAR})" in p or f"yr#" in p, p
+        # physical proof: exactly the rows of that one year survive
+        n_all = o.filter(F.year("o_orderdate") == PRUNE_YEAR).count()
+        assert back.count() == n_all
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_distribute_sort_by_shapes_exchange(spark):
+    """DISTRIBUTE BY user_id + SORT BY must plan a user_id hash
+    exchange followed by a per-partition (non-global) sort
+    (engine/seeds15.py sql_distribute_sort_by)."""
+    p = (
+        engine.QUERIES["sql_distribute_sort_by"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning(user_id" in p, p
+    assert "Sort [user_id" in p
+    assert ", false, 0" in p, "SORT BY planned a global sort"
