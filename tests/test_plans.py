@@ -389,7 +389,10 @@ def test_no_scale_red_flags_any_query(spark):
                # k-grid × active-days-histogram tail-sum product, both
                # sides metadata-sized (engine/seeds13.py
                # events_survival_curve)
-               "events_survival_curve"}
+               "events_survival_curve",
+               # 1-row (dmin, dmax) span broadcast clipping the ×7
+               # contribution fan-out (engine/seeds16.py events_dau_wau)
+               "events_dau_wau"}
     # An unpartitioned window is acceptable only over metadata-bounded
     # input. Currently empty: round 1's entries (llm_jaccard_neardup,
     # llm_lsh_neardup) no longer plan any Window at all, and keeping
@@ -511,6 +514,7 @@ def test_no_untested_op_registers_past_window():
             "engine.seeds13",
             "engine.seeds14",
             "engine.seeds15",
+            "engine.seeds16",
         ), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "

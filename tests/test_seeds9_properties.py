@@ -224,3 +224,30 @@ def test_distribute_sort_by_shapes_exchange(spark):
     assert "Exchange hashpartitioning(user_id" in p, p
     assert "Sort [user_id" in p
     assert ", false, 0" in p, "SORT BY planned a global sort"
+
+
+def test_geomean_never_exceeds_mean(spark):
+    """AM-GM inequality: the geometric mean must be ≤ the arithmetic
+    mean for every type (engine/seeds16.py agg_geomean)."""
+    pdf = engine.QUERIES["agg_geomean"](spark, SF_DIR).toPandas()
+    assert (pdf["geomean_cents"] <= pdf["mean_cents"] + 1e-9).all()
+
+
+def test_dau_wau_bounds(spark):
+    """WAU ≥ DAU for every day, and WAU never exceeds total users
+    (engine/seeds16.py events_dau_wau)."""
+    pdf = engine.QUERIES["events_dau_wau"](spark, SF_DIR).toPandas()
+    assert (pdf["wau"] >= pdf["dau"]).all()
+
+
+def test_named_window_single_window_operator(spark):
+    """Both named specs share partition+order, so Catalyst must fuse
+    all three functions into ONE Window operator over one exchange
+    (engine/seeds16.py sql_named_window)."""
+    p = (
+        engine.QUERIES["sql_named_window"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange hashpartitioning") == 1, p
