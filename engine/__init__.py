@@ -92,6 +92,7 @@ from engine import seeds13 as seeds13  # noqa: F401
 from engine import seeds14 as seeds14  # noqa: F401
 from engine import seeds15 as seeds15  # noqa: F401
 from engine import seeds16 as seeds16  # noqa: F401
+from engine import seeds17 as seeds17  # noqa: F401
 
 # Deferred (callable) oracles compose other registered oracles; resolve
 # them now that every module has imported.

@@ -392,7 +392,14 @@ def test_no_scale_red_flags_any_query(spark):
                "events_survival_curve",
                # 1-row (dmin, dmax) span broadcast clipping the ×7
                # contribution fan-out (engine/seeds16.py events_dau_wau)
-               "events_dau_wau"}
+               "events_dau_wau",
+               # 1-row (na, nb) sample-size broadcast into the merged-
+               # support gap scan (engine/seeds17.py llm_length_ks_audit)
+               "llm_length_ks_audit",
+               # 1-row global-count broadcast feeding the integer rank
+               # remap; the remap join itself is EQUI (engine/seeds17.py
+               # win_quantile_normalize)
+               "win_quantile_normalize"}
     # An unpartitioned window is acceptable only over metadata-bounded
     # input. Currently empty: round 1's entries (llm_jaccard_neardup,
     # llm_lsh_neardup) no longer plan any Window at all, and keeping
@@ -515,6 +522,7 @@ def test_no_untested_op_registers_past_window():
             "engine.seeds14",
             "engine.seeds15",
             "engine.seeds16",
+            "engine.seeds17",
         ), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "
