@@ -93,6 +93,7 @@ from engine import seeds14 as seeds14  # noqa: F401
 from engine import seeds15 as seeds15  # noqa: F401
 from engine import seeds16 as seeds16  # noqa: F401
 from engine import seeds17 as seeds17  # noqa: F401
+from engine import seeds18 as seeds18  # noqa: F401
 
 # Deferred (callable) oracles compose other registered oracles; resolve
 # them now that every module has imported.
