@@ -76,13 +76,15 @@ from engine import relational as relational  # noqa: F401
 from engine import functions as functions  # noqa: F401
 from engine import windows as windows  # noqa: F401
 
-# Next-rotation seeds (rounds 8-14, 54 ops): registered past this
+# Next-rotation seeds (rounds 8-19, 74 ops): registered past this
 # round's correctness window on purpose (the 50-row cap is spoken for
 # by seeds5-7) — oracled and locally differential-tested at
 # sf0.001/0.01/0.1 now; rotate FIRST next round. They exceed one
-# 50-row window, so the rotation spans two rounds: seeds8(15)+
-# seeds9(10)+seeds10(10)+seeds11(6)+seeds12(4) = 45 first (5 slots
-# left for re-checks), then seeds13(4)+seeds14(5) with the balance.
+# 50-row window, so the rotation spans two rounds:
+#   round 6 window: seeds8(15)+seeds9(10)+seeds10(10)+seeds11(6)+
+#                   seeds12(4)+seeds13(4) = 49 (+1 re-check slot)
+#   round 7 window: seeds14(5)+seeds15(6)+seeds16(5)+seeds17(4)+
+#                   seeds18(4)+seeds19(1) = 25 (+25 re-check slots)
 from engine import seeds8 as seeds8  # noqa: F401
 from engine import seeds9 as seeds9  # noqa: F401
 from engine import seeds10 as seeds10  # noqa: F401
@@ -94,6 +96,7 @@ from engine import seeds15 as seeds15  # noqa: F401
 from engine import seeds16 as seeds16  # noqa: F401
 from engine import seeds17 as seeds17  # noqa: F401
 from engine import seeds18 as seeds18  # noqa: F401
+from engine import seeds19 as seeds19  # noqa: F401
 
 # Deferred (callable) oracles compose other registered oracles; resolve
 # them now that every module has imported.
