@@ -325,6 +325,8 @@ def test_no_scale_red_flags_any_query(spark):
         # scratch year-partitioned write before the pruned read
         # (engine/seeds15.py)
         "source_partitioned_read_prune",
+        # custom Python-sink write + read-back audit (engine/seeds19.py)
+        "sink_python_datasource",
     }
     # BroadcastNestedLoopJoin is correct when the broadcast side is
     # constant-bounded: a 1-row corpus-count, a ≤10-row probe set, a
