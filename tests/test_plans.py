@@ -527,6 +527,7 @@ def test_no_untested_op_registers_past_window():
             "engine.seeds17",
             "engine.seeds18",
             "engine.seeds19",
+            "engine.seeds20",
         ), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "
