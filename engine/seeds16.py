@@ -122,7 +122,11 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact), never a day×users cross product. The oracle keeps the
     textbook range theta-join formulation, proving the rewrite. Window
     days past the data edge are clipped to the observed span on both
-    engines.
+    engines. Contract note (hypothesis-surfaced): a day appears iff
+    its trailing window saw ≥ 1 active user — a gap longer than
+    WAU_DAYS emits no row for its fully-dead days, identically in the
+    engine and the oracle (a dashboard wanting explicit zeros left-
+    joins the calendar dim, join_calendar_dim).
     """
     e = load(spark, sf_dir, "events")
     ud = (
@@ -132,6 +136,13 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return dau_wau_core(ud)
+
+
+def dau_wau_core(ud: DataFrame) -> DataFrame:
+    """The bounded contribution-fan-out DAU/WAU over any deduped
+    (user_id, day) frame — factored for the hypothesis reference check
+    (tests/test_seeds1720_refchecks.py)."""
     span = ud.agg(
         F.min("day").alias("dmin"), F.max("day").alias("dmax")
     )

@@ -218,6 +218,13 @@ def win_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     c = e.select("event_id", "event_type", _cents().alias("cents"))
+    return quantile_normalize_core(c)
+
+
+def quantile_normalize_core(c: DataFrame) -> DataFrame:
+    """The integer rank remap over any (event_id, event_type, cents)
+    frame — factored for the hypothesis reference check
+    (tests/test_seeds1720_refchecks.py)."""
     r = c.select(
         "event_id",
         "event_type",
@@ -317,6 +324,12 @@ def llm_length_ks_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("source") == KS_SOURCE_A).cast("int").alias("in_a"),
     )
+    return ks_core(ab)
+
+
+def ks_core(ab: DataFrame) -> DataFrame:
+    """The common-denominator KS statistic over any (n_chars, in_a)
+    frame — factored for the hypothesis reference check."""
     per_len = ab.groupBy("n_chars").agg(
         F.sum("in_a").alias("da"),
         F.sum(1 - F.col("in_a")).alias("db"),
