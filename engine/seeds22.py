@@ -1,0 +1,98 @@
+"""Round-22 seed operator — dedup-pipeline quality evaluation:
+precision/recall of the MinHash-LSH near-dup pipeline against the
+exact-Jaccard witness, the dedup twin of llm_ann_recall's index
+evaluation — 1 operator, oracled (composed oracle).
+
+Reference parity note: /root/reference (alehakad/FootballDataEngeneering)
+contains no code (README.md:1-2 + LICENSE only — SURVEY.md §0), so this
+extends SURVEY.md §2's own declared inventory. Registered PAST the
+round-5 correctness window; rotate FIRST next round with seeds8-21.
+
+Import discipline: leaf modules only at module scope (registry) — the
+two evaluated queries are looked up through the REGISTRY at call time
+and their oracles composed via the deferred-callable mechanism, so
+this module registers without dragging llm_ops/scale_ops forward
+(the llm_ann_recall-proven pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.det import pround
+from engine.registry import ORACLES, QUERIES, query
+
+EVAL_CAP = 1000  # the llm_jaccard_neardup witness population
+
+
+def _dedup_recall_oracle() -> str:
+    """Composed at resolve time from the two underlying oracles (both
+    registered by then; SURVEY.md §7.5 composition rule)."""
+    exact = ORACLES["llm_jaccard_neardup"]
+    approx = ORACLES["llm_lsh_neardup"]
+    return f"""
+    WITH e AS (SELECT doc_a, doc_b FROM ({exact})
+               WHERE doc_a < {EVAL_CAP} AND doc_b < {EVAL_CAP}),
+    a AS (SELECT doc_a, doc_b FROM ({approx})
+          WHERE doc_a < {EVAL_CAP} AND doc_b < {EVAL_CAP}),
+    tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+           FROM e JOIN a USING (doc_a, doc_b))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_lsh,
+           tp.n AS n_true_pos,
+           ROUND(CAST(tp.n AS DOUBLE)
+                 / (SELECT COUNT(*) FROM a), 4) AS precision,
+           ROUND(CAST(tp.n AS DOUBLE)
+                 / (SELECT COUNT(*) FROM e), 4) AS recall
+    FROM tp
+    """
+
+
+@query("llm_dedup_recall", oracle=_dedup_recall_oracle)
+def llm_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline evaluation: precision/recall of the banded
+    MinHash-LSH near-dup pairs (llm_lsh_neardup) against the
+    exact-Jaccard ground truth (llm_jaccard_neardup) on the shared
+    witness population — the measurement that justifies trusting the
+    LSH path at 100 TB where exact pairing is impossible (recall < 1
+    quantifies banding misses: near-threshold pairs whose signatures
+    collide in no band; precision is 1 by construction since LSH
+    candidates are exact-verified — ASSERTED, not assumed).
+
+    Composes the two REGISTERED queries (the llm_ann_recall pattern) so
+    the evaluation always measures the shipped pipeline, never a copy;
+    both sides reduce to pair sets before the metadata-sized comparison
+    join.
+    """
+    exact = (
+        QUERIES["llm_jaccard_neardup"](spark, sf_dir)
+        .filter((F.col("doc_a") < EVAL_CAP) & (F.col("doc_b") < EVAL_CAP))
+        .select("doc_a", "doc_b")
+    )
+    approx = (
+        QUERIES["llm_lsh_neardup"](spark, sf_dir)
+        .filter((F.col("doc_a") < EVAL_CAP) & (F.col("doc_b") < EVAL_CAP))
+        .select("doc_a", "doc_b")
+    )
+    tp = exact.join(approx, ["doc_a", "doc_b"]).count()
+    n_e = exact.count()
+    n_a = approx.count()
+    row = [
+        (
+            n_e,
+            n_a,
+            tp,
+            float(__import__("math").floor(tp / n_a * 10**4 + 0.5)) / 10**4
+            if n_a
+            else None,
+            float(__import__("math").floor(tp / n_e * 10**4 + 0.5)) / 10**4
+            if n_e
+            else None,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_exact bigint, n_lsh bigint, n_true_pos bigint, "
+        "precision double, recall double",
+    )
