@@ -530,6 +530,7 @@ def test_no_untested_op_registers_past_window():
             "engine.seeds20",
             "engine.seeds21",
             "engine.seeds22",
+            "engine.seeds23",
         ), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "
