@@ -531,6 +531,7 @@ def test_no_untested_op_registers_past_window():
             "engine.seeds21",
             "engine.seeds22",
             "engine.seeds23",
+            "engine.seeds24",
         ), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "
