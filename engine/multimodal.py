@@ -59,7 +59,11 @@ def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded image/audio asset; metadata mirrors what an ingest service
     would attach."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    # NULL-payload rows are dropped at INGEST, the asset-pipeline
+    # convention (a missing blob is a fetch failure, not a zero-byte
+    # asset) — nulls-twin sweep: the Arrow feature extractors would
+    # otherwise see None where bytes are promised.
+    return d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),
         (F.col("n_chars") % 64 + 1).cast("int").alias("meta_width"),

@@ -612,7 +612,11 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load(spark, sf_dir, "documents")
-    mm = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    # NULL payloads dropped at ingest — the engine.multimodal
+    # convention (a missing blob is a fetch failure); nulls-twin sweep.
+    mm = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
     return mm.mapInPandas(
         feats,
         schema=(

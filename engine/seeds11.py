@@ -257,8 +257,11 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
 
     @F.udf("long", useArrow=True)
-    def arrow_chk(c: int) -> int:
-        return (c * 2 + 1) % 997
+    def arrow_chk(c):
+        # NULL-safe: value can be NULL upstream (nulls-twin sweep) —
+        # a Python UDF receives None and must hand NULL back, the same
+        # contract the JVM expression it mirrors honors for free.
+        return None if c is None else (c * 2 + 1) % 997
 
     return e.select("event_type", arrow_chk(_cents()).alias("v")).groupBy(
         "event_type"

@@ -33,8 +33,15 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable.
     """
     out = SCRATCH / f"text_{uuid.uuid4().hex}"
-    lines = load(spark, sf_dir, "documents").select(
-        F.col("text").alias("value")
+    # The line-oriented text format CANNOT represent NULL (a null row
+    # would serialize as an empty line and read back as "") — filter
+    # nulls before the write, matching every text exporter's contract;
+    # without this the roundtrip assert correctly reports lost rows on
+    # the nulls-twin sweep.
+    lines = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.col("text").alias("value"))
     )
     try:
         lines.write.mode("overwrite").text(str(out))

@@ -186,7 +186,11 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udtf(returnType="token string, pos int")
     class SplitTokens:
-        def eval(self, text: str):
+        def eval(self, text):
+            # NULL text → zero output rows, matching what UNNEST of a
+            # NULL split yields in the oracle (nulls-twin sweep).
+            if text is None:
+                return
             for i, tkn in enumerate(text.split(" ")):
                 yield tkn, i
 

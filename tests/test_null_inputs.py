@@ -1,0 +1,71 @@
+"""NULL-injection sweep (SURVEY.md §5 adversarial-input layer): every
+registered query must SURVIVE a fixture twin with NULLs sprinkled into
+the nullable payload columns (documents.text, events.value,
+events.props) — at 100 TB, nulls in optional fields are routine (fetch
+failures, schema drift, upstream bugs), and an operator that assumes
+non-null payloads aborts a 10⁶-task job on one poisoned row.
+
+This sweep found 6 real crashes when first run (round 5): the four
+multimodal feature extractors and the audio op fed None where bytes
+were promised (fixed: NULL payloads drop at ingest — the asset-pipeline
+convention), the text sink serialized NULL rows as lost lines (fixed:
+text format cannot represent NULL, filter + documented), and the Arrow
+Python UDF crashed on None (fixed: NULL-safe return).
+
+Only survival is asserted, not value equality: with nulls present,
+different-but-valid results are expected (aggregates skip nulls by SQL
+semantics) — the differential suite owns value correctness on the
+canonical fixtures.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import duckdb
+import pytest
+
+import engine
+from engine.session import TABLES
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="session")
+def nulls_sf_dir(tmp_path_factory):
+    """Fixture twin with ~2 % NULLs in nullable payload columns (never
+    in keys/timestamps — those are structural)."""
+    out = tmp_path_factory.mktemp("nulls_sf")
+    con = duckdb.connect()
+    src = pathlib.Path(SF_DIR)
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"""COPY (SELECT doc_id,
+                    CASE WHEN doc_id % 50 = 7 THEN NULL ELSE text END AS text,
+                    lang, source, n_chars
+                    FROM '{src}/documents.parquet')
+                    TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "events":
+            con.execute(
+                f"""COPY (SELECT event_id, ts, user_id, event_type,
+                    CASE WHEN event_id % 50 = 7 THEN NULL ELSE value END
+                      AS value,
+                    CASE WHEN event_id % 40 = 3 THEN NULL ELSE props END
+                      AS props
+                    FROM '{src}/events.parquet')
+                    TO '{out}/events.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(out)
+
+
+@pytest.mark.parametrize("qid", sorted(engine.QUERIES))
+def test_query_survives_null_payloads(spark, nulls_sf_dir, qid):
+    df = engine.QUERIES[qid](spark, nulls_sf_dir)
+    assert df.count() >= 0
