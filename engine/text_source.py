@@ -33,14 +33,20 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable.
     """
     out = SCRATCH / f"text_{uuid.uuid4().hex}"
-    # The line-oriented text format CANNOT represent NULL (a null row
-    # would serialize as an empty line and read back as "") — filter
-    # nulls before the write, matching every text exporter's contract;
-    # without this the roundtrip assert correctly reports lost rows on
-    # the nulls-twin sweep.
+    # The line-oriented text format CANNOT represent NULL (serializes
+    # as an empty line, reads back as "") or EMBEDDED NEWLINES (one
+    # line = one record by definition: a 2-line text reads back as two
+    # rows) — filter both before the write, the contract every text
+    # exporter enforces; the roundtrip assert then guards exactly the
+    # representable rows. Both cases found by the nulls/adversarial
+    # twin sweeps, where the assert correctly reported lost rows.
     lines = (
         load(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
+        .filter(
+            F.col("text").isNotNull()
+            & ~F.col("text").contains("\n")
+            & ~F.col("text").contains("\r")
+        )
         .select(F.col("text").alias("value"))
     )
     try:

@@ -69,3 +69,62 @@ def nulls_sf_dir(tmp_path_factory):
 def test_query_survives_null_payloads(spark, nulls_sf_dir, qid):
     df = engine.QUERIES[qid](spark, nulls_sf_dir)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="session")
+def adversarial_sf_dir(tmp_path_factory):
+    """Fixture twin with serialization-hostile text: embedded commas,
+    quotes, newlines, tabs, and non-ASCII — the content that breaks
+    naive CSV/text exporters. Found: the line-oriented text sink cannot
+    represent embedded newlines (fixed: excluded by contract, like
+    NULLs); CSV/JSON/XML roundtrips survive via their quoting rules."""
+    out = tmp_path_factory.mktemp("adv_sf")
+    con = duckdb.connect()
+    src = pathlib.Path(SF_DIR)
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"""COPY (SELECT doc_id,
+                    CASE doc_id % 7
+                      WHEN 0 THEN 'comma, separated, "quoted" field'
+                      WHEN 1 THEN 'line1' || chr(10) || 'line2 embedded'
+                      WHEN 2 THEN 'unicode δοκιμή 测试 🚀 ok'
+                      WHEN 3 THEN 'tab' || chr(9) || 'separated'
+                      ELSE text END AS text,
+                    lang, source, n_chars
+                    FROM '{src}/documents.parquet')
+                    TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(out)
+
+
+# The ops that SERIALIZE or parse text content — the surface hostile
+# strings actually stress; the rest of the registry treats text as an
+# opaque value and is covered by the null sweep above.
+_ADVERSARIAL_QIDS = [
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_xml_roundtrip",
+    "source_text_roundtrip",
+    "source_orc_roundtrip",
+    "llm_chat_template",
+    "fn_csv_parse",
+    "llm_token_count",
+    "llm_text_stats",
+    "fn_array",
+    "llm_exact_dedup",
+    "llm_prefix_cluster",
+    "udtf_python",
+]
+
+
+@pytest.mark.parametrize("qid", _ADVERSARIAL_QIDS)
+def test_query_survives_hostile_strings(spark, adversarial_sf_dir, qid):
+    df = engine.QUERIES[qid](spark, adversarial_sf_dir)
+    assert df.count() >= 0
