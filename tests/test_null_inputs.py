@@ -128,3 +128,54 @@ _ADVERSARIAL_QIDS = [
 def test_query_survives_hostile_strings(spark, adversarial_sf_dir, qid):
     df = engine.QUERIES[qid](spark, adversarial_sf_dir)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="session")
+def negative_sf_dir(tmp_path_factory):
+    """Fixture twin with ~11 % of event values NEGATED — refunds/
+    chargebacks are routine in real value streams, and the statistical
+    family (sqrt of variance terms, log-space means, sign-dependent
+    medians) must not assume positivity. Full-registry probe found 0
+    crashes; this pins the sqrt/log-bearing subset so a future edit
+    cannot regress it."""
+    out = tmp_path_factory.mktemp("neg_sf")
+    con = duckdb.connect()
+    src = pathlib.Path(SF_DIR)
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"""COPY (SELECT event_id, ts, user_id, event_type,
+                    CASE WHEN event_id % 9 = 4 THEN -value ELSE value END
+                      AS value, props
+                    FROM '{src}/events.parquet')
+                    TO '{out}/events.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(out)
+
+
+_NEGATIVE_QIDS = [
+    "events_ab_welch",
+    "events_anomaly_mad",
+    "events_anomaly_zscore",
+    "ts_seasonal_decompose",
+    "agg_regr_family",
+    "ts_autocorr",
+    "agg_geomean",
+    "agg_gini_concentration",
+    "events_wilson_alert",
+    "ts_cusum_change",
+    "agg_stats",
+    "win_pareto_days",
+]
+
+
+@pytest.mark.parametrize("qid", _NEGATIVE_QIDS)
+def test_stat_ops_survive_negative_values(spark, negative_sf_dir, qid):
+    df = engine.QUERIES[qid](spark, negative_sf_dir)
+    assert df.count() >= 0
