@@ -401,6 +401,9 @@ def test_no_scale_red_flags_any_query(spark):
                # 1-row overflow-probe aggregate crossed with the 1-row
                # main aggregate (engine/seeds25.py agg_try_aggregates)
                "agg_try_aggregates",
+               # 1-row (tot, k) totals broadcast into the alphabet-sized
+               # label grid (engine/seeds26.py mm_label_balance_chi2)
+               "mm_label_balance_chi2",
                # 1-row global-count broadcast feeding the integer rank
                # remap; the remap join itself is EQUI (engine/seeds17.py
                # win_quantile_normalize)
@@ -536,6 +539,7 @@ def test_no_untested_op_registers_past_window():
             "engine.seeds23",
             "engine.seeds24",
             "engine.seeds25",
+            "engine.seeds26",
         ), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "
