@@ -106,6 +106,7 @@ from engine import seeds23 as seeds23  # noqa: F401
 from engine import seeds24 as seeds24  # noqa: F401
 from engine import seeds25 as seeds25  # noqa: F401
 from engine import seeds26 as seeds26  # noqa: F401
+from engine import seeds27 as seeds27  # noqa: F401
 
 # Deferred (callable) oracles compose other registered oracles; resolve
 # them now that every module has imported.

@@ -540,6 +540,7 @@ def test_no_untested_op_registers_past_window():
             "engine.seeds24",
             "engine.seeds25",
             "engine.seeds26",
+            "engine.seeds27",
         ), (
             f"{qid} ({mod}) at position {i + 1} has no driver row, is "
             "past the 50-row window, and is not a declared next-round "
