@@ -76,7 +76,7 @@ from engine import relational as relational  # noqa: F401
 from engine import functions as functions  # noqa: F401
 from engine import windows as windows  # noqa: F401
 
-# Next-rotation seeds (rounds 8-26, 89 ops): registered past this
+# Next-rotation seeds (rounds 8-27, 91 ops): registered past this
 # round's correctness window on purpose (the 50-row cap is spoken for
 # by seeds5-7) — oracled and locally differential-tested at
 # sf0.001/0.01/0.1 now; rotate FIRST next round. They exceed one
@@ -86,7 +86,7 @@ from engine import windows as windows  # noqa: F401
 #   round 7 window: seeds14(5)+seeds15(6)+seeds16(5)+seeds17(4)+
 #                   seeds18(4)+seeds19(2)+seeds20(1)+seeds21(2)+
 #                   seeds22(1)+seeds23(2)+seeds24(2)+seeds25(2)+
-#                   seeds26(4) = 40 (+10 re-check slots)
+#                   seeds26(4)+seeds27(2) = 42 (+8 re-check slots)
 from engine import seeds8 as seeds8  # noqa: F401
 from engine import seeds9 as seeds9  # noqa: F401
 from engine import seeds10 as seeds10  # noqa: F401
