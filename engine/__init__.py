@@ -22,42 +22,42 @@ from engine import registry as registry  # noqa: F401
 # register first; families already proven in a prior round register last
 # and absorb the truncation.
 #
-# Round-5 priority: every query with no driver row after
-# r01 ∪ r02 ∪ r03 ∪ r04 rotates to the FRONT of the 50-row window —
-# the 10 round-5 seeds plus BOTH next-round seed batches (seeds6 and
-# seeds7 were registered past the r4 window; since the r5 driver sweep
-# has not run yet, putting all 40 never-driver-checked operators inside
-# the cap proves the ENTIRE 198-operator registry in one round instead
-# of leaving 30 to a later rotation):
-#   seeds5        (10) ntile_cume/rfm/bigram/ann_range/stopword/
-#                      conditional/ohlc/bitwise/temperature/survivors
-#   seeds6        (15) melt/calendar/kfold/hourly/pct_change/zipf/
-#                      corr/interval/percentile_drift/decontaminate_lsh/
-#                      except_all/cooccurrence/weighted_ma/scd2/novelty
-#   seeds7        (15) bucketed/dpp/window_funnel/path_topk/asof_nearest/
-#                      containment/skew_kurtosis/gap_pct/ratio_report/
-#                      regexp/bitmap/cross_source/pareto/hll_drift/
-#                      schema_evolution
-# The 10 remaining slots re-check modules touched by this round's
-# ADVICE fixes:
-#   streaming_ext (1)  foreach_batch_merge — empty-batch + repartition fix
-#   llm_ops       (9)  registers first when pipeline_ops imports it —
-#                      includes the two vec-helper-touched queries
-#                      (llm_jaccard_neardup, llm_cosine_topk)
-# pipeline_ops' own 7 (ngram_jaccard/ngram_lsh/dedup_clusters/...,
-# _neardup_edges LSH routing changed this round) and surface4's 3 land
-# at 51-60: each holds a green r4 driver row AND the post-change sf0.1
-# differential sweep (BASELINE.md, all 198 pairs green) — the driver
-# re-check is forgone in favor of proving 40 never-checked seeds.
+# Round-6 window (exactly 50, per the rotation plan recorded in r5 and
+# VERDICT r5 item 1): the first half of the 91-op untested backlog —
+# seeds8-13 (49 never-driver-checked operators) — plus seeds22's
+# llm_dedup_recall in the single re-check slot (its pair-frame caching
+# was changed this round per VERDICT r5 item 3, so the changed code
+# path gets a fresh driver row AND leaves only 41 ops for the round-7
+# window):
+#   seeds8  (15) lateral_topk/lambda/map/interpolate/welch/mad/
+#                running_distinct/ewma/dq_report/profile_stats/
+#                compaction/mixture_epochs/intersect_all/chat_template/
+#                tws_counter
+#   seeds9  (10) recursive/countmin/seasonal/url/rowgroup/hll_mergeable/
+#                try_arith/edit_distance/user_overlap/weighted_median
+#   seeds10 (10) pivot/unpivot/string_agg/group_by_all/xml/codec/
+#                attribution/centroids/nth_value/prefix_cluster
+#   seeds11 (6)  regr/median_mode/aes/natural_join/arrow_scalar/hist2d
+#   seeds12 (4)  autocorr/cusum/benford/gini
+#   seeds13 (4)  survival/equidepth/analyze_stats/haversine
+#   seeds22 (1)  llm_dedup_recall — localCheckpoint fix re-check
 # = exactly the 50-row window (verified by test_plans' window pin).
+# Round-7 window: seeds14-21 + seeds23-27 = 41 ops (+9 re-check slots).
+from engine import seeds8 as seeds8  # noqa: F401
+from engine import seeds9 as seeds9  # noqa: F401
+from engine import seeds10 as seeds10  # noqa: F401
+from engine import seeds11 as seeds11  # noqa: F401
+from engine import seeds12 as seeds12  # noqa: F401
+from engine import seeds13 as seeds13  # noqa: F401
+from engine import seeds22 as seeds22  # noqa: F401
+
+# Proven families (green in a prior round) absorb the truncation.
 from engine import seeds5 as seeds5  # noqa: F401
 from engine import seeds6 as seeds6  # noqa: F401
 from engine import seeds7 as seeds7  # noqa: F401
 from engine import streaming_ext as streaming_ext  # noqa: F401
 from engine import pipeline_ops as pipeline_ops  # noqa: F401
 from engine import surface4 as surface4  # noqa: F401
-
-# Proven families (green in a prior round) absorb the truncation.
 from engine import tpch4 as tpch4  # noqa: F401
 from engine import curation2 as curation2  # noqa: F401
 from engine import tpch_ext as tpch_ext  # noqa: F401
@@ -76,23 +76,16 @@ from engine import relational as relational  # noqa: F401
 from engine import functions as functions  # noqa: F401
 from engine import windows as windows  # noqa: F401
 
-# Next-rotation seeds (rounds 8-27, 91 ops): registered past this
+# Next-rotation seeds (round-7 window, 41 ops): registered past this
 # round's correctness window on purpose (the 50-row cap is spoken for
-# by seeds5-7) — oracled and locally differential-tested at
-# sf0.001/0.01/0.1 now; rotate FIRST next round. They exceed one
-# 50-row window, so the rotation spans two rounds:
-#   round 6 window: seeds8(15)+seeds9(10)+seeds10(10)+seeds11(6)+
-#                   seeds12(4)+seeds13(4) = 49 (+1 re-check slot)
+# by seeds8-13 + seeds22) — oracled and locally differential-tested at
+# sf0.001/0.01/0.1; rotate FIRST next round:
 #   round 7 window: seeds14(5)+seeds15(6)+seeds16(5)+seeds17(4)+
 #                   seeds18(4)+seeds19(2)+seeds20(1)+seeds21(2)+
-#                   seeds22(1)+seeds23(2)+seeds24(2)+seeds25(2)+
-#                   seeds26(4)+seeds27(2) = 42 (+8 re-check slots)
-from engine import seeds8 as seeds8  # noqa: F401
-from engine import seeds9 as seeds9  # noqa: F401
-from engine import seeds10 as seeds10  # noqa: F401
-from engine import seeds11 as seeds11  # noqa: F401
-from engine import seeds12 as seeds12  # noqa: F401
-from engine import seeds13 as seeds13  # noqa: F401
+#                   seeds23(2)+seeds24(2)+seeds25(2)+seeds26(4)+
+#                   seeds27(2) = 41 (+9 re-check slots)
+# NO new seed operators this round (VERDICT r5 item 2: freeze until the
+# untested backlog fits one window).
 from engine import seeds14 as seeds14  # noqa: F401
 from engine import seeds15 as seeds15  # noqa: F401
 from engine import seeds16 as seeds16  # noqa: F401
@@ -101,7 +94,6 @@ from engine import seeds18 as seeds18  # noqa: F401
 from engine import seeds19 as seeds19  # noqa: F401
 from engine import seeds20 as seeds20  # noqa: F401
 from engine import seeds21 as seeds21  # noqa: F401
-from engine import seeds22 as seeds22  # noqa: F401
 from engine import seeds23 as seeds23  # noqa: F401
 from engine import seeds24 as seeds24  # noqa: F401
 from engine import seeds25 as seeds25  # noqa: F401

@@ -63,17 +63,24 @@ def llm_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes the two REGISTERED queries (the llm_ann_recall pattern) so
     the evaluation always measures the shipped pipeline, never a copy;
     both sides reduce to pair sets before the metadata-sized comparison
-    join.
+    join. Each pair frame is localCheckpoint-ed (eager) BEFORE the three
+    actions below (join-count, count, count) — without it each
+    underlying LSH/witness pipeline executes twice (VERDICT r5 item 3;
+    the engine/pipeline_ops.py:161 materialize-once pattern). The
+    checkpointed frames are pair-set-sized (≤ EVAL_CAP² candidates,
+    thousands of rows), never corpus-sized.
     """
     exact = (
         QUERIES["llm_jaccard_neardup"](spark, sf_dir)
         .filter((F.col("doc_a") < EVAL_CAP) & (F.col("doc_b") < EVAL_CAP))
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     approx = (
         QUERIES["llm_lsh_neardup"](spark, sf_dir)
         .filter((F.col("doc_a") < EVAL_CAP) & (F.col("doc_b") < EVAL_CAP))
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     tp = exact.join(approx, ["doc_a", "doc_b"]).count()
     n_e = exact.count()

@@ -68,7 +68,9 @@ def llm_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN (llm_ann_recall) / LSH (llm_dedup_recall) / SimHash (here).
 
     Composes the registered queries + oracles; the comparison join is
-    pair-set-sized. MEASURED VERDICT on the fixtures: precision ≈ 0.16,
+    pair-set-sized, and each pair frame is localCheckpoint-ed (eager)
+    before the three actions so neither underlying pipeline runs twice
+    (VERDICT r5 item 3). MEASURED VERDICT on the fixtures: precision ≈ 0.16,
     recall ≈ 0.02 — SimHash's random-hyperplane signature approximates
     COSINE over token frequencies, which on this corpus selects a
     largely different pair population than set-Jaccard ≥ 0.8; the
@@ -80,11 +82,13 @@ def llm_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUERIES["llm_jaccard_neardup"](spark, sf_dir)
         .filter((F.col("doc_a") < SH_EVAL_CAP) & (F.col("doc_b") < SH_EVAL_CAP))
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     sim = (
         QUERIES["llm_simhash_neardup"](spark, sf_dir)
         .filter((F.col("doc_a") < SH_EVAL_CAP) & (F.col("doc_b") < SH_EVAL_CAP))
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     import math
 

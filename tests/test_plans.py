@@ -464,36 +464,30 @@ def test_exact_witness_absolute_caps_pushed(spark):
     assert "JACCARD_WITNESS_MAX_ID" in body
 
 
-def test_round5_correctness_window_priority():
+def test_round6_correctness_window_priority():
     """The driver's correctness report caps at 50 rows in registration
-    order, so the round-5 rotation (engine/__init__) is load-bearing:
-    ALL 40 never-driver-checked operators (the 10 round-5 seeds plus
-    both next-round seed batches seeds6/seeds7, registered past the r4
-    window) MUST occupy the first 40 slots so the r5 driver sweep proves
-    the entire 198-operator registry. Update when rotating next round."""
-    import engine.seeds5
-    import engine.seeds6
-    import engine.seeds7
-
+    order, so the round-6 rotation (engine/__init__) is load-bearing:
+    the first half of the 91-op untested backlog — seeds8-13, 49
+    never-driver-checked operators — MUST occupy the first 49 slots,
+    with seeds22's llm_dedup_recall (pair-frame caching changed this
+    round per VERDICT r5 item 3) in the single re-check slot at
+    position 50. Update when rotating next round (round-7 window:
+    seeds14-21 + seeds23-27 = 41 ops)."""
     ids = list(engine.QUERIES)
-    seeds = [
+    backlog = [
         q for q in ids
         if engine.QUERIES[q].__module__
-        in ("engine.seeds5", "engine.seeds6", "engine.seeds7")
+        in (
+            "engine.seeds8", "engine.seeds9", "engine.seeds10",
+            "engine.seeds11", "engine.seeds12", "engine.seeds13",
+        )
     ]
-    assert len(seeds) == 40
-    assert ids[:40] == seeds, "a non-seed registered before the seeds"
-    changed_r5 = [
-        # touched by this round's ADVICE fixes / vec-helper move and NOT
-        # covered by a post-change driver row; pipeline_ops' 7 and
-        # surface4's 3 intentionally sit at 51-60 (green r4 rows + the
-        # post-change sf0.1 differential sweep stand in — see
-        # engine/__init__).
-        "stream_foreach_batch_merge", "llm_jaccard_neardup",
-        "llm_cosine_topk",
-    ]
-    for qid in changed_r5:
-        assert ids.index(qid) < 50, f"{qid} fell out of the driver window"
+    assert len(backlog) == 49
+    assert ids[:49] == backlog, "a non-backlog op registered before seeds8-13"
+    # the one re-check slot: the evaluator whose caching changed this round
+    assert ids[49] == "llm_dedup_recall", (
+        "llm_dedup_recall fell out of the driver window"
+    )
 
 
 def test_no_untested_op_registers_past_window():
@@ -520,13 +514,10 @@ def test_no_untested_op_registers_past_window():
         if i < 50 or qid in driver_checked:
             continue
         mod = engine.QUERIES[qid].__module__
+        # seeds8-13 + seeds22 now sit INSIDE the round-6 window, so they
+        # are deliberately absent here — a refactor pushing one past the
+        # cap fails this assertion.
         assert mod in (
-            "engine.seeds8",
-            "engine.seeds9",
-            "engine.seeds10",
-            "engine.seeds11",
-            "engine.seeds12",
-            "engine.seeds13",
             "engine.seeds14",
             "engine.seeds15",
             "engine.seeds16",
@@ -535,7 +526,6 @@ def test_no_untested_op_registers_past_window():
             "engine.seeds19",
             "engine.seeds20",
             "engine.seeds21",
-            "engine.seeds22",
             "engine.seeds23",
             "engine.seeds24",
             "engine.seeds25",
