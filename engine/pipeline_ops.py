@@ -321,6 +321,32 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return labels
 
 
+# Process-local memo for the component labeling shared by
+# llm_dedup_clusters and llm_dedup_survivors (both run
+# connected_components over the SAME threshold-0.8 banded edge graph —
+# VERDICT r5 item 6). Keyed by (Spark applicationId, sf_dir) so a
+# restarted session can never serve a stale frame; the cached value is
+# the final localCheckpoint-ed labels frame (one (u, label) row per
+# document — already materialized, so holding the reference costs
+# nothing and reuse skips the whole edge-generation + CC iteration).
+# Each query remains standalone: a fresh process simply recomputes.
+_LABELS_MEMO: dict = {}
+
+
+def dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels (u, label) of the Jaccard ≥ 0.8
+    near-dup graph over ``documents`` — memoized per (application,
+    sf_dir); see _LABELS_MEMO."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LABELS_MEMO:
+        d = load(spark, sf_dir, "documents")
+        nodes = d.select(F.col("doc_id").alias("u"))
+        _LABELS_MEMO[key] = connected_components(
+            nodes, _neardup_edges(spark, sf_dir)
+        )
+    return _LABELS_MEMO[key]
+
+
 @query(
     "llm_dedup_clusters",
     oracle=f"""
@@ -363,11 +389,10 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     round structure). The oracle is DuckDB's exact transitive closure
     via recursive CTE over the SAME banded candidate edges
     (lsh_candidate_ctes), so the loop must (and does) run to a true
-    fixpoint, not a fixed round count.
+    fixpoint, not a fixed round count. The labeling is shared with
+    llm_dedup_survivors through the process-local dedup_labels memo.
     """
-    d = load(spark, sf_dir, "documents")
-    nodes = d.select(F.col("doc_id").alias("u"))
-    labels = connected_components(nodes, _neardup_edges(spark, sf_dir))
+    labels = dedup_labels(spark, sf_dir)
     return labels.select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -599,13 +599,14 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE-for-CTE in the oracle — then connected components to a true
     fixpoint), then a cluster-sized aggregate joined back to the
     survivors' metadata — the join is on the canonical id, so its
-    input is clusters, not the corpus.
+    input is clusters, not the corpus. The labeling is shared with
+    llm_dedup_clusters through the process-local dedup_labels memo
+    (same threshold, same graph — VERDICT r5 item 6).
     """
-    from engine.pipeline_ops import _neardup_edges, connected_components
+    from engine.pipeline_ops import dedup_labels
 
     d = load(spark, sf_dir, "documents")
-    nodes = d.select(F.col("doc_id").alias("u"))
-    labels = connected_components(nodes, _neardup_edges(spark, sf_dir))
+    labels = dedup_labels(spark, sf_dir)
     clusters = labels.groupBy("label").agg(
         F.count("*").alias("n_members")
     )
