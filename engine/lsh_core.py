@@ -166,9 +166,12 @@ def lsh_neardup_pairs(
     before packed_token_sets): at 100 TB the candidate set is orders of
     magnitude smaller than the corpus, so packing everything — as round 1
     did — would dominate the whole pipeline. ``materialize_tok``
-    checkpoints the token rows first; pass True when producing them is
-    expensive (char-shingle expansion) since they are scanned by both
-    the signature build and the verify pack."""
+    checkpoints the token rows first; the frame is consumed THREE times
+    (minhash vocabulary distinct, signature build, verify pack), so
+    every caller should pass True unless tok is already materialized —
+    measured ~40% off the word-token pipeline at sf0.1, more for the
+    char-shingle expansion (on a cluster: checkpoint dir instead of
+    localCheckpoint)."""
     if materialize_tok:
         tok = tok.localCheckpoint(eager=True)
     bands = band_rows(_minhash_sig(tok))

@@ -245,7 +245,7 @@ def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift."""
     d = load(spark, sf_dir, "documents")
     pairs = lsh_neardup_pairs(
-        tokens(d, distinct=True), CLUSTER_THRESHOLD
+        tokens(d, distinct=True), CLUSTER_THRESHOLD, materialize_tok=True
     ).select("doc_a", "doc_b")
     return pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")

@@ -59,7 +59,9 @@ def llm_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.8 (SURVEY.md §7.4). See :func:`lsh_neardup_pairs` for the plan;
     same output contract as llm_jaccard_neardup."""
     d = load(spark, sf_dir, "documents")
-    return lsh_neardup_pairs(tokens(d, distinct=True), 0.8)
+    return lsh_neardup_pairs(
+        tokens(d, distinct=True), 0.8, materialize_tok=True
+    )
 
 
 # ---------------------------------------------------------------------------
