@@ -111,3 +111,41 @@ def test_audio_features_match_python_recomputation(spark):
             math.sqrt(sum(frames) / len(data)) * 10_000 + 0.5
         ) / 10_000
         assert abs(float(r["rms"]) - rms) < 1e-12
+
+
+def test_dedup_labels_memo_is_keyed_and_consistent(spark):
+    """The process-local labels memo (VERDICT r5 item 6) must (a) hit on
+    a second call for the same (application, sf_dir) — identity, not
+    recompute — (b) key on sf_dir so different fixture dirs can never
+    share a labeling, and (c) produce the SAME labeling either way (the
+    memo is pure reuse, not a semantic fork)."""
+    from engine.pipeline_ops import (
+        _LABELS_MEMO,
+        _neardup_edges,
+        connected_components,
+        dedup_labels,
+    )
+    from pyspark.sql import functions as F
+
+    app = spark.sparkContext.applicationId
+    _LABELS_MEMO.pop((app, SF_DIR), None)
+    first = dedup_labels(spark, SF_DIR)
+    assert dedup_labels(spark, SF_DIR) is first  # (a) memo hit
+    assert (app, SF_DIR) in _LABELS_MEMO  # (b) keyed by (app, sf_dir)
+    # (c) memoized labeling == a fresh un-memoized recomputation
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fresh = connected_components(
+        d.select(F.col("doc_id").alias("u")),
+        _neardup_edges(spark, SF_DIR),
+    )
+    assert (
+        first.withColumnRenamed("label", "l1")
+        .join(fresh.withColumnRenamed("label", "l2"), "u", "full")
+        .filter(
+            F.col("l1").isNull()
+            | F.col("l2").isNull()
+            | (F.col("l1") != F.col("l2"))
+        )
+        .count()
+        == 0
+    )
