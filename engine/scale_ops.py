@@ -112,15 +112,25 @@ _DUCK_SIMHASH_CTE = f"""
 """
 
 
-def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_df(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, simhash) via the same generated expressions, SQL front-end
     (SURVEY.md §3.3: SQL and DataFrame share one plan IR).
 
     The 32 md5-hex-digit bit extractions depend only on the token, so
     they are computed once per distinct vocabulary entry and joined back
     to occurrence rows (broadcast — same precompute pattern as
-    engine.llm_ops.minhash_hashes) instead of per occurrence."""
-    load(spark, sf_dir, "documents").createOrReplaceTempView("sh_docs")
+    engine.llm_ops.minhash_hashes) instead of per occurrence.
+
+    ``docs`` overrides the corpus frame (default: the full documents
+    table). A document's signature depends only on its own token
+    frequencies, so signatures over a restricted frame equal the
+    full-corpus signatures of those documents — the commutation the
+    witness-restricted evaluator (engine.seeds23) relies on."""
+    (
+        docs if docs is not None else load(spark, sf_dir, "documents")
+    ).createOrReplaceTempView("sh_docs")
     bit_cols = ", ".join(
         f"{_bit('spark', i)} AS b{i:02d}" for i in range(SIMHASH_BITS)
     )
@@ -191,7 +201,15 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this radius — O(Σ bucket²) candidates instead of all-pairs, then a
     cheap popcount verify. The standard web-scale near-dup layout.
     """
-    sig = _simhash_df(spark, sf_dir)
+    return simhash_neardup_pairs(_simhash_df(spark, sf_dir))
+
+
+def simhash_neardup_pairs(sig: DataFrame) -> DataFrame:
+    """Banded Hamming-≤3 pairs over a (doc_id, simhash) frame — the
+    llm_simhash_neardup core, shared with the witness-restricted
+    evaluator (engine.seeds23). Banding and verify are per-doc /
+    pairwise, so pairs over a restricted signature frame equal the
+    full-corpus pairs among those docs."""
     bands = sig.select(
         "doc_id",
         "simhash",

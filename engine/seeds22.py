@@ -60,25 +60,45 @@ def llm_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide in no band; precision is 1 by construction since LSH
     candidates are exact-verified — ASSERTED, not assumed).
 
-    Composes the two REGISTERED queries (the llm_ann_recall pattern) so
-    the evaluation always measures the shipped pipeline, never a copy;
-    both sides reduce to pair sets before the metadata-sized comparison
-    join. Each pair frame is localCheckpoint-ed (eager) BEFORE the three
+    The exact side composes the REGISTERED witness query (the
+    llm_ann_recall pattern). The LSH side runs the SHIPPED core
+    (engine.lsh_core.lsh_neardup_pairs — the exact function
+    llm_lsh_neardup wraps) on the witness population only: input
+    restriction COMMUTES with the pipeline, because minhash signatures
+    and band hashes are per-document (token-content-only — the
+    permutation hashes are md5(token#i), corpus-independent), candidacy
+    of a pair depends only on the two documents' own band hashes, and
+    the bitset verify is pairwise-exact whatever vocabulary width the
+    packing picks. So pairs-over-restricted-input ≡
+    pairs-over-full-corpus ∩ witness², and the UNCHANGED oracle (the
+    full llm_lsh_neardup CTE chain, THEN the cap filter) makes the
+    driver re-verify that commutation on every run rather than trusting
+    this argument. Restricting first drops the evaluator from
+    ≈ sum-of-full-pipelines to witness-sized work (VERDICT r5 item 3's
+    "Done" bar).
+
+    Each pair frame is localCheckpoint-ed (eager) BEFORE the three
     actions below (join-count, count, count) — without it each
-    underlying LSH/witness pipeline executes twice (VERDICT r5 item 3;
-    the engine/pipeline_ops.py:161 materialize-once pattern). The
-    checkpointed frames are pair-set-sized (≤ EVAL_CAP² candidates,
-    thousands of rows), never corpus-sized.
+    pipeline executes twice. The checkpointed frames are pair-set-sized
+    (≤ EVAL_CAP² candidates), never corpus-sized.
     """
+    from engine.llm_ops import tokens
+    from engine.lsh_core import lsh_neardup_pairs
+    from engine.session import load
+
     exact = (
         QUERIES["llm_jaccard_neardup"](spark, sf_dir)
         .filter((F.col("doc_a") < EVAL_CAP) & (F.col("doc_b") < EVAL_CAP))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
+    witness = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < EVAL_CAP
+    )
     approx = (
-        QUERIES["llm_lsh_neardup"](spark, sf_dir)
-        .filter((F.col("doc_a") < EVAL_CAP) & (F.col("doc_b") < EVAL_CAP))
+        lsh_neardup_pairs(
+            tokens(witness, distinct=True), 0.8, materialize_tok=True
+        )
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )

@@ -67,10 +67,17 @@ def llm_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely informative. Completes the sketch-eval matrix:
     ANN (llm_ann_recall) / LSH (llm_dedup_recall) / SimHash (here).
 
-    Composes the registered queries + oracles; the comparison join is
-    pair-set-sized, and each pair frame is localCheckpoint-ed (eager)
-    before the three actions so neither underlying pipeline runs twice
-    (VERDICT r5 item 3). MEASURED VERDICT on the fixtures: precision ≈ 0.16,
+    The exact side composes the registered witness query + oracle; the
+    SimHash side runs the SHIPPED core (scale_ops.simhash_neardup_pairs
+    over scale_ops._simhash_df — the exact functions
+    llm_simhash_neardup composes) on the witness population only:
+    signatures are per-document and candidacy/verify pairwise, so
+    restricted-input pairs ≡ full-corpus pairs ∩ witness², and the
+    UNCHANGED oracle (full llm_simhash_neardup CTE chain, THEN the cap
+    filter) has the driver re-verify that commutation every run. Both
+    pair frames are localCheckpoint-ed (eager) before the three actions
+    so neither pipeline runs twice (VERDICT r5 item 3).
+    MEASURED VERDICT on the fixtures: precision ≈ 0.16,
     recall ≈ 0.02 — SimHash's random-hyperplane signature approximates
     COSINE over token frequencies, which on this corpus selects a
     largely different pair population than set-Jaccard ≥ 0.8; the
@@ -84,9 +91,13 @@ def llm_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
+    from engine.scale_ops import _simhash_df, simhash_neardup_pairs
+
+    witness = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SH_EVAL_CAP
+    )
     sim = (
-        QUERIES["llm_simhash_neardup"](spark, sf_dir)
-        .filter((F.col("doc_a") < SH_EVAL_CAP) & (F.col("doc_b") < SH_EVAL_CAP))
+        simhash_neardup_pairs(_simhash_df(spark, sf_dir, docs=witness))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
