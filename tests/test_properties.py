@@ -210,3 +210,73 @@ def test_connected_components_matches_union_find(spark, edge_list, n_nodes):
         r.u: r.label for r in connected_components(nodes, edges).collect()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(DOC, min_size=1, max_size=6),
+    cap=st.integers(1, 6),
+)
+@SETTINGS
+def test_lsh_pairs_commute_with_input_restriction(spark, docs, cap):
+    """The witness-restricted evaluators (engine.seeds22/seeds23) rely
+    on: lsh_neardup_pairs(restricted corpus) == lsh_neardup_pairs(full
+    corpus) filtered to pairs inside the restriction. True because
+    minhash signatures/band hashes are per-document and candidacy +
+    verify are pairwise — this pins the property on arbitrary small
+    corpora so a future lsh_core edit that introduces cross-document
+    state (e.g. corpus-dependent banding) breaks loudly here, not as a
+    silent driver hash-mismatch on the evaluator."""
+    from engine.llm_ops import tokens
+    from engine.lsh_core import lsh_neardup_pairs
+
+    rows = [(i, "xx", " ".join(doc)) for i, doc in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def pairs(frame):
+        return {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in lsh_neardup_pairs(
+                tokens(frame, distinct=True), 0.5
+            ).collect()
+        }
+
+    full_filtered = {
+        (a, b, j) for a, b, j in pairs(d) if a < cap and b < cap
+    }
+    restricted = pairs(d.filter(F.col("doc_id") < cap))
+    assert restricted == full_filtered
+
+
+@given(
+    docs=st.lists(DOC, min_size=1, max_size=6),
+    cap=st.integers(1, 6),
+)
+@SETTINGS
+def test_simhash_pairs_commute_with_input_restriction(spark, docs, cap):
+    """Same commutation pin for the SimHash side (engine.seeds23):
+    simhash_neardup_pairs over a restricted signature frame == the
+    full-corpus pairs among the restricted docs."""
+    import tempfile
+
+    from engine.scale_ops import _simhash_df, simhash_neardup_pairs
+
+    rows = [(i, "xx", " ".join(doc), 1, 1) for i, doc in enumerate(docs)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source int, n_chars int"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+        def pairs(docs_frame):
+            return {
+                (r.doc_a, r.doc_b, r.hamming)
+                for r in simhash_neardup_pairs(
+                    _simhash_df(spark, tmp, docs=docs_frame)
+                ).collect()
+            }
+
+        full_filtered = {
+            (a, b, h) for a, b, h in pairs(d) if a < cap and b < cap
+        }
+        restricted = pairs(d.filter(F.col("doc_id") < cap))
+        assert restricted == full_filtered
