@@ -84,6 +84,16 @@ from engine import windows as windows  # noqa: F401
 #                   seeds18(4)+seeds19(2)+seeds20(1)+seeds21(2)+
 #                   seeds23(2)+seeds24(2)+seeds25(2)+seeds26(4)+
 #                   seeds27(2) = 41 (+9 re-check slots)
+# Round-7 re-check slot candidates — the queries whose CODE CHANGED in
+# round 6 without landing in the r6 window (each holds a green prior
+# driver row + the post-change sf0.1 differential, BASELINE.md):
+#   llm_lsh_neardup, llm_ngram_lsh        (materialize_tok)
+#   llm_dedup_clusters, llm_dedup_survivors, llm_dedup_pipeline
+#                                         (dedup_labels memo / edges)
+#   llm_simhash, llm_simhash_neardup      (_simhash_df docs param +
+#                                          simhash_neardup_pairs split)
+# = 7 of the 9 spare slots; llm_simhash_recall (also changed) is
+# already in the 41.
 # NO new seed operators this round (VERDICT r5 item 2: freeze until the
 # untested backlog fits one window).
 from engine import seeds14 as seeds14  # noqa: F401
