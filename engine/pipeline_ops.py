@@ -80,7 +80,13 @@ def char_shingles(d: DataFrame) -> DataFrame:
     emit bogus shingles where DuckDB's ``GENERATE_SERIES(1, 0)`` emits
     none — latent on the fixtures (min text length 44) but a real
     cross-engine divergence on short documents (round-2 review).
+
+    Input is spread (engine.llm_ops.spread_docs) so the ~200×-expanding
+    explode parallelizes regardless of the scan's split count.
     """
+    from engine.llm_ops import spread_docs
+
+    d = spread_docs(d)
     return d.filter(F.length("text") >= NGRAM).select(
         "doc_id",
         "lang",

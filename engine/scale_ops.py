@@ -127,8 +127,13 @@ def _simhash_df(
     table). A document's signature depends only on its own token
     frequencies, so signatures over a restricted frame equal the
     full-corpus signatures of those documents — the commutation the
-    witness-restricted evaluator (engine.seeds23) relies on."""
-    (
+    witness-restricted evaluator (engine.seeds23) relies on.
+
+    Input is spread (engine.llm_ops.spread_docs) so the token explode
+    parallelizes regardless of the scan's split count."""
+    from engine.llm_ops import spread_docs
+
+    spread_docs(
         docs if docs is not None else load(spark, sf_dir, "documents")
     ).createOrReplaceTempView("sh_docs")
     bit_cols = ", ".join(

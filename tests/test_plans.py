@@ -681,3 +681,36 @@ def test_pareto_windows_share_partitioning(spark):
     p = plan(spark, "win_pareto_days")
     assert p.count("Exchange (") <= 2
     assert "Window" in p and "SinglePartition" not in p
+
+
+def test_token_explode_is_spread_before_generate(spark):
+    """The shared token/shingle producers repartition doc-grain rows
+    BEFORE the row-expanding explode (engine.llm_ops.spread_docs): a
+    compact upstream file (one row group ⇒ one split) must not serialize
+    a ~100-200× expansion onto a single task. Pin (a) an Exchange
+    hashpartitioning on doc_id upstream of the Generate, and (b) the
+    width following the session's sized-to-data shuffle.partitions
+    policy, not raw core count."""
+    import contextlib as _ctx
+    import io as _io
+
+    from engine.llm_ops import tokens
+    from engine.pipeline_ops import char_shingles
+    from engine.session import load
+
+    docs = load(spark, SF_DIR, "documents")
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for producer in (tokens, char_shingles):
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            producer(docs).explain("formatted")
+        p = buf.getvalue()
+        tree = p.split("(1) ")[0]  # indented tree header: parent above child
+        assert "Generate" in tree, producer.__name__
+        assert "Exchange" in tree.split("Generate", 1)[1], (
+            f"{producer.__name__}: explode not fed by a repartition"
+        )
+        assert (
+            f"hashpartitioning(doc_id#" in p
+            and f", {width}), REPARTITION_BY_NUM" in p
+        ), f"{producer.__name__}: spread width does not follow shuffle.partitions"
