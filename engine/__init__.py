@@ -87,12 +87,17 @@ from engine import windows as windows  # noqa: F401
 # Round-7 re-check slot candidates — the queries whose CODE CHANGED in
 # round 6 without landing in the r6 window (each holds a green prior
 # driver row + the post-change sf0.1 differential, BASELINE.md):
-#   llm_lsh_neardup, llm_ngram_lsh        (materialize_tok)
+#   llm_lsh_neardup, llm_ngram_lsh        (materialize_tok + spread)
 #   llm_dedup_clusters, llm_dedup_survivors, llm_dedup_pipeline
 #                                         (dedup_labels memo / edges)
 #   llm_simhash, llm_simhash_neardup      (_simhash_df docs param +
-#                                          simhash_neardup_pairs split)
-# = 7 of the 9 spare slots; llm_simhash_recall (also changed) is
+#                                          simhash_neardup_pairs split
+#                                          + spread)
+#   llm_ngram_novelty or llm_tfidf_topterms (spread-touched producers:
+#                                          tokens()/char_shingles()
+#                                          consumers; the 28-pair sf0.1
+#                                          subset sweep covers all)
+# = 8 of the 9 spare slots; llm_simhash_recall (also changed) is
 # already in the 41.
 # NO new seed operators this round (VERDICT r5 item 2: freeze until the
 # untested backlog fits one window).
