@@ -18,12 +18,16 @@ query). The no-oracle window ops get the driver's rows-run smoke.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 import engine
 from tests.conftest import SF_DIR, assert_frames_match
 
-WINDOW_N = 50
+# Default = the driver's 50-row window; ENGINE_INVARIANCE_WINDOW=289
+# sweeps the whole registry (used for the recorded full ad-hoc runs).
+WINDOW_N = int(os.environ.get("ENGINE_INVARIANCE_WINDOW", "50"))
 WINDOW = list(engine.QUERIES)[:WINDOW_N]
 DRIVERISH_PARTITIONS = "200"
 
