@@ -325,6 +325,25 @@ def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") < JACCARD_WITNESS_MAX_ID
     )
+    return exact_jaccard_pairs(d)
+
+
+def exact_jaccard_pairs(d: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs with exact token-set Jaccard ≥
+    threshold within a language, over the given doc frame — the core
+    llm_jaccard_neardup wraps (callers MUST bound the input; the packed
+    frame is broadcast).
+
+    Restriction commutes: a pair's jaccard is a function of the two
+    documents' own token sets alone (the dictionary ids and bitset
+    width picked by packed_token_sets vary with the input vocabulary,
+    but |∩| and |∪| are dictionary-invariant), and both the size-ratio
+    prune and the threshold are per-pair — so
+    pairs(docs restricted to P) ≡ pairs(full corpus) ∩ P² (property-
+    pinned in tests/test_properties.py). The witness-restricted
+    evaluator (engine.seeds22) relies on this to run the exact side on
+    the witness population only.
+    """
     tok = tokens(d, distinct=True)
     # Physical plan: bitset-packed set-similarity join, not the naive
     # token×token self-join (which materializes Σ df² rows through a
@@ -364,8 +383,8 @@ def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(b),
         (a["lang"] == b["lang"])
         & (F.col("doc_a") < F.col("doc_b"))
-        & (F.col("na") * 0.8 <= F.col("nb"))
-        & (F.col("nb") * 0.8 <= F.col("na")),
+        & (F.col("na") * threshold <= F.col("nb"))
+        & (F.col("nb") * threshold <= F.col("na")),
     ).select(
         "doc_a",
         "doc_b",
@@ -378,7 +397,7 @@ def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return pairs.filter(jac >= 0.8).select(
+    return pairs.filter(jac >= threshold).select(
         "doc_a", "doc_b", pround(jac, 4).alias("jaccard")
     )
 

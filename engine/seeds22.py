@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.det import pround
-from engine.registry import ORACLES, QUERIES, query
+from engine.registry import ORACLES, query
 
 EVAL_CAP = 1000  # the llm_jaccard_neardup witness population
 
@@ -60,40 +60,40 @@ def llm_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide in no band; precision is 1 by construction since LSH
     candidates are exact-verified — ASSERTED, not assumed).
 
-    The exact side composes the REGISTERED witness query (the
-    llm_ann_recall pattern). The LSH side runs the SHIPPED core
-    (engine.lsh_core.lsh_neardup_pairs — the exact function
-    llm_lsh_neardup wraps) on the witness population only: input
-    restriction COMMUTES with the pipeline, because minhash signatures
-    and band hashes are per-document (token-content-only — the
-    permutation hashes are md5(token#i), corpus-independent), candidacy
-    of a pair depends only on the two documents' own band hashes, and
-    the bitset verify is pairwise-exact whatever vocabulary width the
-    packing picks. So pairs-over-restricted-input ≡
-    pairs-over-full-corpus ∩ witness², and the UNCHANGED oracle (the
-    full llm_lsh_neardup CTE chain, THEN the cap filter) makes the
-    driver re-verify that commutation on every run rather than trusting
-    this argument. Restricting first drops the evaluator from
-    ≈ sum-of-full-pipelines to witness-sized work (VERDICT r5 item 3's
-    "Done" bar).
+    BOTH sides run their SHIPPED cores on the witness population only
+    (engine.llm_ops.exact_jaccard_pairs — the core llm_jaccard_neardup
+    wraps — and engine.lsh_core.lsh_neardup_pairs — the core
+    llm_lsh_neardup wraps): input restriction COMMUTES with both
+    pipelines, because every per-document quantity is
+    token-content-only (minhash permutation hashes are md5(token#i),
+    corpus-independent; jaccard is dictionary-invariant whatever
+    vocabulary width the packing picks) and candidacy/verify/threshold
+    are pairwise. So pairs-over-restricted-input ≡
+    pairs-over-full-corpus ∩ witness² on each side (property-pinned in
+    tests/test_properties.py), and the UNCHANGED composed oracle (each
+    full registered CTE chain, THEN the cap filter) makes the driver
+    re-verify both commutations on every run rather than trusting the
+    argument. Restricting first drops the evaluator from
+    ≈ sum-of-full-pipelines to witness-sized work on both sides
+    (VERDICT r5 item 3's "Done" bar; the exact side alone is ~16×
+    fewer candidate pairs at sf0.1 — 4000² → 1000²).
 
     Each pair frame is localCheckpoint-ed (eager) BEFORE the three
     actions below (join-count, count, count) — without it each
     pipeline executes twice. The checkpointed frames are pair-set-sized
     (≤ EVAL_CAP² candidates), never corpus-sized.
     """
-    from engine.llm_ops import tokens
+    from engine.llm_ops import exact_jaccard_pairs, tokens
     from engine.lsh_core import lsh_neardup_pairs
     from engine.session import load
 
-    exact = (
-        QUERIES["llm_jaccard_neardup"](spark, sf_dir)
-        .filter((F.col("doc_a") < EVAL_CAP) & (F.col("doc_b") < EVAL_CAP))
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
     witness = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") < EVAL_CAP
+    )
+    exact = (
+        exact_jaccard_pairs(witness)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     approx = (
         lsh_neardup_pairs(

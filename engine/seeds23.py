@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from engine.det import pround
-from engine.registry import ORACLES, QUERIES, query
+from engine.registry import ORACLES, query
 from engine.session import load
 
 SH_EVAL_CAP = 1000  # the exact-Jaccard witness population
@@ -67,16 +67,17 @@ def llm_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely informative. Completes the sketch-eval matrix:
     ANN (llm_ann_recall) / LSH (llm_dedup_recall) / SimHash (here).
 
-    The exact side composes the registered witness query + oracle; the
-    SimHash side runs the SHIPPED core (scale_ops.simhash_neardup_pairs
-    over scale_ops._simhash_df — the exact functions
-    llm_simhash_neardup composes) on the witness population only:
-    signatures are per-document and candidacy/verify pairwise, so
-    restricted-input pairs ≡ full-corpus pairs ∩ witness², and the
-    UNCHANGED oracle (full llm_simhash_neardup CTE chain, THEN the cap
-    filter) has the driver re-verify that commutation every run. Both
-    pair frames are localCheckpoint-ed (eager) before the three actions
-    so neither pipeline runs twice (VERDICT r5 item 3).
+    BOTH sides run their SHIPPED cores on the witness population only
+    (llm_ops.exact_jaccard_pairs; scale_ops.simhash_neardup_pairs over
+    scale_ops._simhash_df — the exact functions the registered queries
+    compose): per-document quantities are token-content-only and
+    candidacy/verify/threshold pairwise, so restricted-input pairs ≡
+    full-corpus pairs ∩ witness² on each side (property-pinned in
+    tests/test_properties.py), and the UNCHANGED composed oracle (each
+    full registered CTE chain, THEN the cap filter) has the driver
+    re-verify both commutations every run. Both pair frames are
+    localCheckpoint-ed (eager) before the three actions so neither
+    pipeline runs twice (VERDICT r5 item 3).
     MEASURED VERDICT on the fixtures: precision ≈ 0.16,
     recall ≈ 0.02 — SimHash's random-hyperplane signature approximates
     COSINE over token frequencies, which on this corpus selects a
@@ -85,16 +86,16 @@ def llm_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxy, not a substitute, and THIS op is what makes that visible
     before a pipeline swaps one for the other.
     """
-    exact = (
-        QUERIES["llm_jaccard_neardup"](spark, sf_dir)
-        .filter((F.col("doc_a") < SH_EVAL_CAP) & (F.col("doc_b") < SH_EVAL_CAP))
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    from engine.llm_ops import exact_jaccard_pairs
     from engine.scale_ops import _simhash_df, simhash_neardup_pairs
 
     witness = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") < SH_EVAL_CAP
+    )
+    exact = (
+        exact_jaccard_pairs(witness)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     sim = (
         simhash_neardup_pairs(_simhash_df(spark, sf_dir, docs=witness))

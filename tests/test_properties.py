@@ -280,3 +280,35 @@ def test_simhash_pairs_commute_with_input_restriction(spark, docs, cap):
         }
         restricted = pairs(d.filter(F.col("doc_id") < cap))
         assert restricted == full_filtered
+
+
+@given(
+    docs=st.lists(DOC, min_size=1, max_size=6),
+    cap=st.integers(1, 6),
+)
+@SETTINGS
+def test_exact_jaccard_pairs_commute_with_input_restriction(spark, docs, cap):
+    """Same commutation pin for the exact side (engine.seeds22):
+    exact_jaccard_pairs over a restricted doc frame == the full-corpus
+    pairs among the restricted docs. True even though the dictionary
+    ids and bitset width picked by packed_token_sets vary with the
+    input vocabulary — |∩| and |∪| are dictionary-invariant and the
+    size prune + threshold are per-pair. A future edit introducing
+    corpus-dependent pair state breaks loudly here, not as a driver
+    hash-mismatch on the evaluator."""
+    from engine.llm_ops import exact_jaccard_pairs
+
+    rows = [(i, "xx", " ".join(doc)) for i, doc in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def pairs(frame):
+        return {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in exact_jaccard_pairs(frame, 0.5).collect()
+        }
+
+    full_filtered = {
+        (a, b, j) for a, b, j in pairs(d) if a < cap and b < cap
+    }
+    restricted = pairs(d.filter(F.col("doc_id") < cap))
+    assert restricted == full_filtered
