@@ -85,42 +85,19 @@ def _pr_oracle() -> str:
     """
 
 
-@query("graph_pagerank_integer", oracle=_pr_oracle())
-def graph_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the derived part taxonomy (child → ⌊key/7⌋ edges),
-    5 damped iterations, top-20 nodes — the canonical iterative graph
-    algorithm expressed as distributed joins, like llm_dedup_clusters'
-    connected components but with per-step MASS arithmetic.
-
-    DETERMINISTIC BY INTEGER MASS: ranks live in 10¹² integer
-    micro-units and every damping/redistribution step uses truncating
-    integer division — float PageRank accumulates summation-order ulps
-    across iterations and can flip near-tied ranks between engines;
-    integer mass cannot. Dangling (root) mass and the teleport share
-    redistribute uniformly each step. The Spark side loops 5 bounded
-    iterations of join+aggregate (each a hash join on the parent key —
-    the same Σ|frontier| argument as the CC fixpoint); the oracle
-    unrolls the SAME recurrence as 5 chained CTEs. Hub structure
-    emerges exactly: low keys collect mass from their ⌊k/7⌋ subtrees.
-    """
-    part = load(spark, sf_dir, "part")
-    nodes = part.filter(F.col("p_partkey") < PR_NODE_CAP).select(
-        F.col("p_partkey").alias("node")
-    )
-    n_nodes = nodes.count()  # metadata-sized (≤ PR_NODE_CAP), plan-time
-    if n_nodes == 0:  # empty fixture twin: no mass to iterate
-        return spark.createDataFrame([], "node bigint, rank_units bigint")
-    edges = (
-        nodes.filter(F.col("node") >= 7)
-        .select(
-            F.col("node").alias("child"),
-            F.floor(F.col("node") / 7.0).cast("bigint").alias("parent"),
-        )
-        .join(
-            nodes.select(F.col("node").alias("parent")).distinct(),
-            "parent",
-        )
-    )
+def integer_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_nodes: int,
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """The iterative core: ``iters`` damped integer-mass steps over
+    (node) / (child, parent) frames with outdegree ≤ 1, returning the
+    final (node, r) ranks. Factored so the refcheck suite can drive it
+    on arbitrary small graphs (chains, stars, all-dangling, empty edge
+    sets) against a pure-Python reference of the same recurrence —
+    shapes the ⌊k/7⌋ fixture taxonomy never produces
+    (tests/test_seeds21_refchecks.py)."""
     ranks = nodes.select(
         "node", F.lit(PR_SCALE // n_nodes).cast("bigint").alias("r")
     )
@@ -128,7 +105,7 @@ def graph_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("child").alias("node")), "node", "left_anti"
     )
     damp = f"r * {PR_DAMP_NUM} div {PR_DAMP_DEN}"  # truncating, ≡ DuckDB //
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         total = ranks.agg(F.sum("r").alias("tot"))
         teleport = total.select(
             F.expr(
@@ -167,8 +144,48 @@ def graph_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+@query("graph_pagerank_integer", oracle=_pr_oracle())
+def graph_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the derived part taxonomy (child → ⌊key/7⌋ edges),
+    5 damped iterations, top-20 nodes — the canonical iterative graph
+    algorithm expressed as distributed joins, like llm_dedup_clusters'
+    connected components but with per-step MASS arithmetic.
+
+    DETERMINISTIC BY INTEGER MASS: ranks live in 10¹² integer
+    micro-units and every damping/redistribution step uses truncating
+    integer division — float PageRank accumulates summation-order ulps
+    across iterations and can flip near-tied ranks between engines;
+    integer mass cannot. Dangling (root) mass and the teleport share
+    redistribute uniformly each step. The Spark side loops 5 bounded
+    iterations of join+aggregate (each a hash join on the parent key —
+    the same Σ|frontier| argument as the CC fixpoint); the oracle
+    unrolls the SAME recurrence as 5 chained CTEs. Hub structure
+    emerges exactly: low keys collect mass from their ⌊k/7⌋ subtrees.
+    """
+    part = load(spark, sf_dir, "part")
+    nodes = part.filter(F.col("p_partkey") < PR_NODE_CAP).select(
+        F.col("p_partkey").alias("node")
+    )
+    n_nodes = nodes.count()  # metadata-sized (≤ PR_NODE_CAP), plan-time
+    if n_nodes == 0:  # empty fixture twin: no mass to iterate
+        return spark.createDataFrame([], "node bigint, rank_units bigint")
+    edges = (
+        nodes.filter(F.col("node") >= 7)
+        .select(
+            F.col("node").alias("child"),
+            F.floor(F.col("node") / 7.0).cast("bigint").alias("parent"),
+        )
+        .join(
+            nodes.select(F.col("node").alias("parent")).distinct(),
+            "parent",
+        )
+    )
     return (
-        ranks.orderBy(F.col("r").desc(), "node")
+        integer_pagerank(nodes, edges, n_nodes)
+        .orderBy(F.col("r").desc(), "node")
         .limit(20)
         .select("node", F.col("r").alias("rank_units"))
     )
