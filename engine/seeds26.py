@@ -217,6 +217,14 @@ def events_active_streak_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .repartition("user_id")
     )
+    return max_streak_core(ud)
+
+
+def max_streak_core(ud: DataFrame) -> DataFrame:
+    """The island core over distinct (user_id, day) rows — factored so
+    the refcheck suite (tests/test_seeds2627_refchecks.py) can drive it
+    on arbitrary day sets (single days, long chains, equal twin
+    streaks) against a sequential scan."""
     g = ud.select(
         "user_id",
         "day",

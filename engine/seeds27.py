@@ -87,6 +87,15 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.sum("c").alias("v"))
     )
+    return rolling_z_core(d)
+
+
+def rolling_z_core(d: DataFrame) -> DataFrame:
+    """The trailing-frame core over day-grain (event_type, day, v) rows
+    — factored so the refcheck suite (tests/test_seeds2627_refchecks.py)
+    can drive the ROWS-frame moments on arbitrary series (constant
+    runs, n<3 heads, zero-variance windows) against a sequential
+    scan."""
     w = (
         W.partitionBy("event_type")
         .orderBy("day")
