@@ -402,10 +402,33 @@ def exact_jaccard_pairs(d: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
-@query("llm_minhash_sketch")
+@query(
+    "llm_minhash_sketch",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        FROM documents)
+    )
+    SELECT doc_id,
+    """
+    + ",\n".join(
+        f"MIN(('0x' || SUBSTRING(MD5(token || '#{i}'), 1, 15))::BIGINT)"
+        f" AS h{i:02d}"
+        for i in range(N_MINHASH)
+    )
+    + """
+    FROM tok GROUP BY doc_id
+    """,
+)
 def llm_minhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-permutation MinHash signature per document
-    (SURVEY.md §2.J llm_minhash_sketch, no-oracle: rows-only check).
+    (SURVEY.md §2.J llm_minhash_sketch) — full hash-verified oracle
+    since round 6 (was rows-only): the signature is 16 bigint columns
+    of deterministic md5-derived minima, and the DuckDB spelling
+    ('0x'‖15-hex-prefix)::BIGINT ≡ Spark conv(…,16,10) is the exact
+    arithmetic already proven equal inside the llm_lsh_neardup oracle
+    (engine.lsh_core.lsh_oracle).
 
     Portable, deterministic permutation definition: perm_i(token) =
     60-bit md5(token ‖ '#' ‖ i) prefix as a long (see
