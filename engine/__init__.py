@@ -98,7 +98,11 @@ from engine import windows as windows  # noqa: F401
 #                                          consumers; the 28-pair sf0.1
 #                                          subset sweep covers all)
 # = 8 of the 9 spare slots; llm_simhash_recall (also changed) is
-# already in the 41.
+# already in the 41. 9th slot: one of the five roundtrip/sink queries
+# upgraded from rows-only to full oracles late in r6 (source_csv/
+# json/orc/text_roundtrip, sink_partitioned_parquet — all green at 3
+# SFs locally; a driver hash row would confirm one representative),
+# or llm_minhash_sketch (same upgrade).
 # NO new seed operators this round (VERDICT r5 item 2: freeze until the
 # untested backlog fits one window).
 from engine import seeds14 as seeds14  # noqa: F401

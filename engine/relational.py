@@ -93,13 +93,27 @@ from engine.roundtrip import (  # noqa: E402
 )
 
 
-@query("source_csv_roundtrip")
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV write→read roundtrip (SURVEY.md §2.A, no-oracle: side-effecting).
+    """CSV write→read roundtrip (SURVEY.md §2.A).
 
     Writes a small aggregate to CSV with header, reads it back with an
     explicit schema (never inference in production paths), asserts the
     read-back equals the written rows, and returns the read-back.
+
+    Oracled since r6 (was rows-only): the returned read-back is the
+    same aggregate DuckDB computes on the source table, so the hash
+    compare verifies the whole write→parse chain is lossless — the
+    2-dp portable-rounded doubles serialize as shortest-repr text and
+    parse back bit-exactly.
     """
     out = _SCRATCH / f"csv_{uuid.uuid4().hex}"
     agg = (
@@ -120,10 +134,20 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
-@query("source_json_roundtrip")
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(c_acctbal), 2) AS avg_bal
+    FROM customer GROUP BY 1
+    """,
+)
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines write→read roundtrip (SURVEY.md §2.A, no-oracle);
-    read-back content-asserted against the written rows."""
+    """JSON-lines write→read roundtrip (SURVEY.md §2.A); read-back
+    content-asserted against the written rows, and (since r6) the
+    read-back hash-verified against DuckDB's same aggregate on the
+    source table — the write→parse chain under test end-to-end."""
     out = _SCRATCH / f"json_{uuid.uuid4().hex}"
     agg = (
         load(spark, sf_dir, "customer")
@@ -143,11 +167,25 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
-@query("sink_partitioned_parquet")
+@query(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE YEAR(o_orderdate) = 1998
+    GROUP BY 1
+    """,
+)
 def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet sink + partition-pruned read (SURVEY.md §2.A).
 
-    No-oracle (side-effecting). Writes orders partitioned by order year,
+    Oracled since r6 (was rows-only): the pruned-partition aggregate
+    must equal DuckDB's same aggregate over the source with the year
+    predicate — so the hash compare verifies the partitioned write,
+    the directory-derived partition values, AND the pruned read
+    end-to-end. Writes orders partitioned by order year,
     reads back a single partition — the filter on the partition column is
     resolved from directory names alone (partition pruning, SURVEY.md §4).
     This layout is the 100 TB story: date-partitioned facts let every
@@ -976,11 +1014,20 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("source_orc_roundtrip")
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS sum_bal
+    FROM supplier GROUP BY 1
+    """,
+)
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC write→read roundtrip (SURVEY.md §2.A family, no-oracle:
-    side-effecting). Same contract as the CSV/JSON roundtrips over the
-    third columnar format Spark ships natively."""
+    """ORC write→read roundtrip (SURVEY.md §2.A family). Same contract
+    as the CSV/JSON roundtrips over the third columnar format Spark
+    ships natively; oracled since r6 (ORC doubles are stored natively,
+    so the read-back hash-matches DuckDB's aggregate bit-exactly)."""
     out = _SCRATCH / f"orc_{uuid.uuid4().hex}"
     agg = (
         load(spark, sf_dir, "supplier")

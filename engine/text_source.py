@@ -19,10 +19,27 @@ from engine.roundtrip import SCRATCH, roundtrip_verified_big
 from engine.session import load
 
 
-@query("source_text_roundtrip")
+@query(
+    "source_text_roundtrip",
+    oracle="""
+    SELECT SUBSTRING(text, 1, 1) AS first_char,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+    FROM documents
+    WHERE text IS NOT NULL
+      AND STRPOS(text, CHR(10)) = 0
+      AND STRPOS(text, CHR(13)) = 0
+    GROUP BY 1
+    """,
+)
 def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Line-oriented text write→read roundtrip (SURVEY.md §2.A family,
-    no-oracle: side-effecting).
+    """Line-oriented text write→read roundtrip (SURVEY.md §2.A family).
+
+    Oracled since r6 (was rows-only): the per-first-char audit of the
+    read-back lines must hash-match DuckDB's same aggregate on the
+    source rows under the identical representability filter — both
+    engines count Unicode code points (Spark ``length`` ≡ DuckDB
+    ``LENGTH``), so the compare verifies the UTF-8 write→read chain.
 
     ``spark.read.text`` is the raw-corpus ingestion path an LLM pipeline
     starts from (one line = one record, schema = a single ``value``
