@@ -22,7 +22,7 @@ from pyspark.sql.window import Window as W
 from engine.det import pround
 from engine.registry import query
 from engine.session import load
-from engine.vec import _dot, _sq_norm
+from engine.vec import _dot, _sq_norm, cosine
 
 N_MINHASH = 16
 _UNROLL_MAX_WORDS = 8  # see bitset_intersection: JIT bytecode-size cliff
@@ -492,9 +492,7 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = F.broadcast(probes).crossJoin(cands).filter(
         F.col("probe_id") != F.col("vec_id")
     )
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))
-    )
+    cos = cosine(F.col("ea"), F.col("eb"))
     w = W.partitionBy("probe_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     return (
         j.select("probe_id", "vec_id", cos.alias("cosine_raw"))

@@ -104,6 +104,12 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # zero-byte payloads dropped, matching the oracle's inner
+            # join over per-char rows (an empty doc produces none) and
+            # keeping the mean divide off n=0 (zero-values sweep).
+            pdf = pdf[
+                pdf["payload"].map(len) > 0
+            ].reset_index(drop=True)
             arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["payload"]]
             n_bytes = np.array([a.size for a in arrs], dtype=np.int64)
             byte_sum = np.array([int(a.sum()) for a in arrs], dtype=np.int64)
@@ -258,6 +264,13 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in pdf["payload"]:
                 a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
                 n = a.size
+                if n == 0:
+                    # zero-byte payload: no pixels to gather — NULL sums,
+                    # matching the oracle (DuckDB's `% 0` is NULL, so its
+                    # per-pixel values and SUMs all go NULL for the doc).
+                    sums.append(None)
+                    sqsums.append(None)
+                    continue
                 w, h = n % 16 + 8, n % 12 + 8
                 idx = ((j * h // o) * w + (i * w // o)) % n
                 pix = a[idx]
@@ -268,8 +281,8 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "out_w": pd.Series([o] * len(pdf), dtype="int32"),
                     "out_h": pd.Series([o] * len(pdf), dtype="int32"),
-                    "pixel_sum": pd.Series(sums, dtype="int64"),
-                    "pixel_sq_sum": pd.Series(sqsums, dtype="int64"),
+                    "pixel_sum": pd.array(sums, dtype="Int64"),
+                    "pixel_sq_sum": pd.array(sqsums, dtype="Int64"),
                 }
             )
 

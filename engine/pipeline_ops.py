@@ -645,9 +645,12 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # NULL payloads dropped at ingest — the engine.multimodal
     # convention (a missing blob is a fetch failure); nulls-twin sweep.
-    mm = d.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
+    # Zero-byte payloads dropped too: no samples → no frames, matching
+    # the oracle's inner join over per-char rows (an empty doc produces
+    # none), and keeping the RMS divide off n=0 (zero-values sweep).
+    mm = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select("doc_id", F.col("text").cast("binary").alias("payload"))
     return mm.mapInPandas(
         feats,
         schema=(

@@ -32,6 +32,7 @@ from engine.llm_ops import (
     N_MINHASH,
     _dot,
     _sq_norm,
+    cosine,
     bitset_intersection,
     minhash_hashes,
     nondet_zero,
@@ -356,9 +357,7 @@ def _embedding_neardup_banded(emb: DataFrame, dim: int) -> DataFrame:
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))
-    )
+    cos = cosine(F.col("ea"), F.col("eb"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -527,9 +526,7 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = withb.select("vec_id", F.col("embedding").alias("eb"), "bucket")
     j = probes.join(cands, "bucket").filter(F.col("probe_id") != F.col("vec_id"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))
-    )
+    cos = cosine(F.col("ea"), F.col("eb"))
     w = W.partitionBy("probe_id").orderBy(F.col("c").desc(), F.col("vec_id"))
     return (
         j.select("probe_id", "vec_id", cos.alias("c"))
@@ -949,9 +946,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("d", "cx"))).alias("a"))
         .select("cid", F.expr("transform(a, s -> s.cx)").alias("ce"))
     )
-    sim = _dot(F.col("embedding"), F.col("ce")) / (
-        F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("ce")))
-    )
+    sim = cosine(F.col("embedding"), F.col("ce"))
     w_assign = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
     scored = (
         emb.crossJoin(F.broadcast(cent))
@@ -974,9 +969,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "ea", "vec_id", "eb")
         .distinct()
     )
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))
-    )
+    cos = cosine(F.col("ea"), F.col("eb"))
     w_top = W.partitionBy("probe_id").orderBy(F.col("c").desc(), F.col("vec_id"))
     return (
         cand.select("probe_id", "vec_id", cos.alias("c"))

@@ -182,7 +182,13 @@ def llm_code_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_codechars").cast("bigint").alias("code_chars"),
         pround(
-            F.sum("n_codechars").cast("double") / F.sum("n_chars_t"), 6
+            # try_divide: a language whose every doc is empty has
+            # Σn_chars = 0 — NULL share, not an ANSI job abort (DuckDB's
+            # divide-by-zero is NULL, so the oracle already agrees).
+            F.try_divide(
+                F.sum("n_codechars").cast("double"), F.sum("n_chars_t")
+            ),
+            6,
         ).alias("code_char_share"),
         F.sum(
             (F.col("n_codechars") * 50 > F.col("n_chars_t")).cast("int")

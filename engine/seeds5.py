@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from engine.det import pround
 from engine.registry import query
 from engine.session import load
-from engine.vec import _dot, _sq_norm
+from engine.vec import _dot, _sq_norm, cosine
 
 NTILE_BUCKETS = 4
 RFM_R_DAYS = (1, 3)  # recency <= d3 -> 3, <= d2 -> 2, else 1
@@ -273,9 +273,7 @@ def llm_ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("ea")
     )
     cands = emb.select("vec_id", F.col("embedding").alias("eb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))
-    )
+    cos = cosine(F.col("ea"), F.col("eb"))
     return (
         F.broadcast(probes)
         .crossJoin(cands)

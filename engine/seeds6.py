@@ -491,9 +491,16 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact is scanned once regardless of how many pairs are audited.
     """
     li = load(spark, sf_dir, "lineitem")
+    # Pearson r as try_divide(covar_pop, σa·σb) — algebraically identical
+    # to F.corr (the 1/n factors cancel), but a zero-variance measure
+    # (e.g. a constant-price day) yields NULL instead of the ANSI
+    # divide-by-zero abort built into Corr's final division; DuckDB's
+    # corr already returns NULL there (tests/test_zero_values.py).
     s = li.agg(
         *[
-            F.corr(a, b).alias(f"c{i}")
+            F.try_divide(
+                F.covar_pop(a, b), F.stddev_pop(a) * F.stddev_pop(b)
+            ).alias(f"c{i}")
             for i, (a, b) in enumerate(_CORR_PAIRS)
         ]
     )

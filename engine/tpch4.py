@@ -88,9 +88,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
-                "unit_cost"
-            )
+            # try_divide: a zero-quantity line (fully returned/cancelled)
+            # must yield a NULL unit cost MIN skips, not an ANSI abort;
+            # DuckDB's divide-by-zero is NULL, so the oracle agrees.
+            F.min(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+            ).alias("unit_cost")
         )
     )
     s = load(spark, sf_dir, "supplier")

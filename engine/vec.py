@@ -30,3 +30,13 @@ def _dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity dot/(‖a‖·‖b‖) — try_divide, because a zero-norm
+    vector (a null-imputed embedding batch, a padded shard) makes the
+    denominator exactly 0 and plain `/` is a job abort under Spark 4's
+    default ANSI mode. NULL instead, matching DuckDB's divide-by-zero,
+    so every mirrored oracle agrees; descending top-k orders NULLs last
+    on both engines (tests/test_zero_values.py)."""
+    return F.try_divide(_dot(a, b), F.sqrt(_sq_norm(a)) * F.sqrt(_sq_norm(b)))
