@@ -162,6 +162,19 @@ def lsh_neardup_pairs(
     parameters are module constants). Shared by the word-token and
     char-shingle near-dup queries.
 
+    Hot buckets (boilerplate: many byte-identical docs sharing one
+    bucket) make the candidate set quadratic in the group size — but
+    for THIS pairs contract every such candidate is a true duplicate
+    (Jaccard 1.0), so candidates == output and no work is wasted;
+    tests/test_lsh_hotbucket.py pins the clique case end-to-end. The
+    wasteful variant — sub-threshold templated docs colliding in a
+    band — is the S-curve's false-positive mass, bounded by rows-per-
+    band; a production run at 100 TB additionally collapses exact
+    duplicates first (one hash-groupBy, the llm_dedup_pipeline stage
+    ordering) so boilerplate enters banding as one representative, and
+    the linear-output artifact to ship is the clustering/survivor form,
+    not all pairs.
+
     The verify stage packs bitsets for *candidate docs only* (semi-join
     before packed_token_sets): at 100 TB the candidate set is orders of
     magnitude smaller than the corpus, so packing everything — as round 1
