@@ -67,12 +67,19 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stats(tbl: pa.Table) -> pa.Table:
         c = tbl.column("c")
         mm = pc.min_max(c).as_py()
+        # all-NULL group: min_max/sum are None — emit NULL stats like
+        # SQL's MAX-MIN/SUM would, not a worker TypeError (null-twin
+        # sweep); arrays explicitly int64 so the NULL row keeps the
+        # declared schema.
+        rng = None if mm["min"] is None else mm["max"] - mm["min"]
         return pa.table(
             {
-                "user_id": [tbl.column("user_id")[0].as_py()],
-                "n": [tbl.num_rows],
-                "cents": [pc.sum(c).as_py()],
-                "cents_range": [mm["max"] - mm["min"]],
+                "user_id": pa.array(
+                    [tbl.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "n": pa.array([tbl.num_rows], pa.int64()),
+                "cents": pa.array([pc.sum(c).as_py()], pa.int64()),
+                "cents_range": pa.array([rng], pa.int64()),
             }
         )
 

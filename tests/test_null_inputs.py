@@ -72,6 +72,49 @@ def test_query_survives_null_payloads(spark, nulls_sf_dir, qid):
 
 
 @pytest.fixture(scope="session")
+def all_nulls_sf_dir(tmp_path_factory):
+    """The harsher twin: the nullable payload columns are 100 % NULL
+    (a whole dead shard — every fetch failed, every value dropped by
+    upstream schema drift). Distinct failure class from the 2 % twin:
+    per-GROUP aggregates over the payload all go NULL at once
+    (min_max/sum None into arithmetic), not just per-row paths.
+    Found udf_apply_in_arrow's range arithmetic crashing on an
+    all-NULL group when first run (round 6)."""
+    out = tmp_path_factory.mktemp("allnull_sf")
+    con = duckdb.connect()
+    src = pathlib.Path(SF_DIR)
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"""COPY (SELECT doc_id, CAST(NULL AS VARCHAR) AS text,
+                    lang, source, n_chars
+                    FROM '{src}/documents.parquet')
+                    TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "events":
+            con.execute(
+                f"""COPY (SELECT event_id, ts, user_id, event_type,
+                    CAST(NULL AS DOUBLE) AS value,
+                    CAST(NULL AS VARCHAR) AS props
+                    FROM '{src}/events.parquet')
+                    TO '{out}/events.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(out)
+
+
+@pytest.mark.parametrize("qid", sorted(engine.QUERIES))
+def test_query_survives_all_null_payloads(spark, all_nulls_sf_dir, qid):
+    df = engine.QUERIES[qid](spark, all_nulls_sf_dir)
+    assert df.count() >= 0
+
+
+@pytest.fixture(scope="session")
 def adversarial_sf_dir(tmp_path_factory):
     """Fixture twin with serialization-hostile text: embedded commas,
     quotes, newlines, tabs, and non-ASCII — the content that breaks
