@@ -941,15 +941,21 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", _split_col().alias("split")
     )
+    # Token array bound as a column, not split inside the lambda:
+    # Catalyst does not hoist loop-invariant subexpressions out of
+    # higher-order-function lambdas, so an in-lambda split re-tokenizes
+    # the full text once per word — O(words · len) per doc, ~190 s for
+    # one 366k-char doc (giant-doc sweep) vs ~1 s bound.
     shingles = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> md5(array_join(slice(split(text, ' '), i, 3), ' ')))"
+        "transform(sequence(1, size(toks) - 2),"
+        " i -> md5(array_join(slice(toks, i, 3), ' ')))"
     )
     # Scanned twice (eval side + train side): checkpoint so the
     # shingling explode doesn't re-execute through lineage — measured
     # ~2× at sf0.1 (same pattern as scale_ops' packed/vocab frames).
     sh = (
-        d.filter(F.size(F.split("text", " ")) >= 3)
+        d.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
         .select("doc_id", "split", F.explode(shingles).alias("h"))
         .localCheckpoint(eager=True)
     )

@@ -60,6 +60,7 @@ NGRAM_THRESHOLD = 0.7
 # unchanged there.
 NGRAM_WITNESS_MAX_ID = 2000
 CLUSTER_THRESHOLD = 0.8  # token-set Jaccard cutoff feeding clustering
+SHINGLE_CHUNK = 2048  # char-shingle chunk stride (see char_shingles)
 CHUNK_SIZE = 32  # tokens per chunk
 CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
 PACK_WINDOW = 512  # context-window length for sequence packing
@@ -81,20 +82,43 @@ def char_shingles(d: DataFrame) -> DataFrame:
     none — latent on the fixtures (min text length 44) but a real
     cross-engine divergence on short documents (round-2 review).
 
+    The sliding window runs over bounded CHUNKS of the text, not the
+    full string: ``substring(text, i, n)`` on a UTF8String is O(i) (it
+    scans from the start to find the character offset), so the naive
+    ``transform(sequence(1, len-4), i -> substring(text, i, 5))`` is
+    O(len²) PER DOCUMENT — one 366k-char doc (heavy-tailed lengths are
+    normal at 100 TB: logs, minified bundles, books) took ~8 min
+    (giant-doc sweep, tests/test_giant_doc.py). Stage 1 cuts the text
+    into {SHINGLE_CHUNK}-char chunks overlapping by NGRAM-1 so every
+    cross-boundary shingle is complete and each global position is
+    produced by exactly one chunk (position i belongs to chunk
+    (i-1) div C); stage 2 slides within each ≤(C+NGRAM-1)-char chunk,
+    bounding every substring scan by C. Total O(len · C) — the chunk
+    array build is O(len²/C), negligible. Docs shorter than C take the
+    exact inner loop the unchunked version ran, and the flattened
+    multiset of shingles is identical, so array_distinct output — and
+    every downstream oracle hash — is unchanged.
+
     Input is spread (engine.llm_ops.spread_docs) so the ~200×-expanding
     explode parallelizes regardless of the scan's split count.
     """
     from engine.llm_ops import spread_docs
 
     d = spread_docs(d)
+    c_len = SHINGLE_CHUNK + NGRAM - 1
     return d.filter(F.length("text") >= NGRAM).select(
         "doc_id",
         "lang",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(1, length(text) - {NGRAM - 1}),"
-                    f" i -> substring(text, i, {NGRAM}))"
+                    "flatten(transform("
+                    f"  transform(sequence(0, (length(text) - {NGRAM})"
+                    f"                        div {SHINGLE_CHUNK}),"
+                    f"    k -> substring(text, k * {SHINGLE_CHUNK} + 1,"
+                    f"                   {c_len})),"
+                    f"  c -> transform(sequence(1, length(c) - {NGRAM - 1}),"
+                    f"    i -> substring(c, i, {NGRAM}))))"
                 )
             )
         ).alias("token"),

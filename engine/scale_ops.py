@@ -709,15 +709,22 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint + shingle cardinalities (winnowing-style content
     fingerprint; the min over a rolling window of hashed k-grams).
     Shingling is an array transform over the split — no second explode
-    pass over raw text, no Python."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    pass over raw text, no Python. The token array is bound as a column
+    BEFORE the transform: a ``split(text, ' ')`` written inside the
+    lambda body is re-evaluated once per element (Catalyst does not
+    hoist loop-invariant subexpressions out of higher-order-function
+    lambdas), turning an n-word document into O(n · len) work — ~190 s
+    for one 366k-char doc vs ~1 s bound (giant-doc sweep,
+    tests/test_giant_doc.py)."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
     shingles = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+        "transform(sequence(1, size(toks) - 2),"
+        " i -> array_join(slice(toks, i, 3), ' '))"
     )
     return (
-        d.filter(F.size(toks) >= 3)
+        d.filter(F.size("toks") >= 3)
         .select("doc_id", F.explode(shingles).alias("shingle"))
         .groupBy("doc_id")
         .agg(

@@ -149,3 +149,48 @@ def test_dedup_labels_memo_is_keyed_and_consistent(spark):
         .count()
         == 0
     )
+
+
+def test_char_shingles_chunking_matches_python_sliding_window(spark):
+    """The chunked two-stage shingle transform (char_shingles cuts the
+    text into SHINGLE_CHUNK-char chunks overlapping by NGRAM-1 so no
+    substring call scans more than the chunk width — the naive full-text
+    sliding window is O(len²) per doc because UTF8String.substring is
+    O(start); see the giant-doc sweep) must emit EXACTLY the distinct
+    set a plain Python sliding window produces, at every length that
+    straddles a chunk boundary: one below/at/above the stride, a
+    multiple of it, and in-between. Characters are drawn from a small
+    alphabet so duplicate shingles across chunks exercise the distinct."""
+    from engine.pipeline_ops import NGRAM, SHINGLE_CHUNK, char_shingles
+
+    C = SHINGLE_CHUNK
+    lengths = [
+        NGRAM,  # exactly one shingle
+        NGRAM + 1,
+        C - 1, C, C + 1,  # around one stride
+        C + NGRAM - 2, C + NGRAM - 1, C + NGRAM,  # around one chunk's reach
+        2 * C, 2 * C + 3,  # two boundaries
+    ]
+    alphabet = "abcde "
+    rows = []
+    for i, n in enumerate(lengths):
+        body = "".join(alphabet[(j * 7 + i) % len(alphabet)] for j in range(n))
+        rows.append((i, "en", body))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["doc_id"], r["token"])
+        for r in char_shingles(df).collect()
+    }
+    want = {
+        (i, body[j : j + NGRAM])
+        for i, _, body in rows
+        for j in range(len(body) - NGRAM + 1)
+    }
+    assert got == want
+    # and per-doc rows are distinct (array_distinct survives chunking)
+    assert char_shingles(df).count() == len(want)
+    # short-doc guard unchanged: below NGRAM chars emits nothing
+    tiny = spark.createDataFrame(
+        [(99, "en", "abcd")], "doc_id long, lang string, text string"
+    )
+    assert char_shingles(tiny).count() == 0
