@@ -87,7 +87,8 @@ from engine import windows as windows  # noqa: F401
 # Round-7 re-check slot candidates — the queries whose CODE CHANGED in
 # round 6 without landing in the r6 window (each holds a green prior
 # driver row + the post-change sf0.1 differential, BASELINE.md):
-#   llm_lsh_neardup, llm_ngram_lsh        (materialize_tok + spread)
+#   llm_lsh_neardup, llm_ngram_lsh        (materialize_tok + spread +
+#                                          chunked char_shingles)
 #   llm_dedup_clusters, llm_dedup_survivors, llm_dedup_pipeline
 #                                         (dedup_labels memo / edges)
 #   llm_simhash, llm_simhash_neardup      (_simhash_df docs param +
@@ -97,6 +98,13 @@ from engine import windows as windows  # noqa: F401
 #                                          tokens()/char_shingles()
 #                                          consumers; the 28-pair sf0.1
 #                                          subset sweep covers all)
+#   llm_fingerprint or llm_decontaminate  (giant-doc fix: token array
+#                                          bound outside the transform
+#                                          lambda; char_shingles itself
+#                                          chunked — every consumer
+#                                          re-verified at 3 SFs,
+#                                          tests/test_giant_doc.py +
+#                                          BASELINE.md r6 entries)
 # = 8 of the 9 spare slots; llm_simhash_recall (also changed) is
 # already in the 41. 9th slot: one of the five roundtrip/sink queries
 # upgraded from rows-only to full oracles late in r6 (source_csv/

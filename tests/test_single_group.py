@@ -1,0 +1,112 @@
+"""Single-group-collapse sweep (SURVEY.md §5 adversarial-input layer):
+the grouped surface must SURVIVE twins where the grouping key has ONE
+value — at 100 TB this is the hot-key limit (a bot account owning a
+whole shard's events; a monolingual crawl slice) and the worst case for
+every ``partitionBy(user_id)`` window (one partition holds everything),
+for cohort analytics (cohorts of size one / size N with no second
+cohort to compare), for A/B machinery (a variant group can be EMPTY —
+assignment is hashed from the collapsed key), and for per-language
+machinery (one stratum, chi²-style expected counts built from a single
+label, per-lang vocabularies becoming global).
+
+Only survival is asserted — with one group, degenerate-but-valid
+results are expected (a Welch test with an empty arm has no t; a
+retention matrix has one cohort row); the differential suite owns value
+correctness on the canonical fixtures.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import duckdb
+import pytest
+
+import engine
+from engine.session import TABLES
+from tests.conftest import SF_DIR
+from tests.test_degenerate_text import _TEXT_QIDS
+from tests.test_tied_timestamps import _TEMPORAL_QIDS
+
+# Documents consumers that group/stratify/window by lang on top of the
+# text surface itself.
+_LANG_EXTRA_QIDS = [
+    "llm_domain_mixture",
+    "llm_sample_stratified",
+    "llm_kfold_split",
+    "llm_train_test_split",
+    "llm_temperature_mixture",
+    "llm_curriculum_stages",
+    "llm_mixture_epochs",
+    "llm_shard_manifest",
+    "llm_quality_buckets",
+    "llm_length_ks_audit",
+    "llm_langid_confusion",
+    "llm_stopword_profile",
+    "llm_zipf_slope",
+    "llm_tfidf_topterms",
+]
+
+
+@pytest.fixture(scope="session")
+def one_user_sf_dir(tmp_path_factory):
+    """Events twin where EVERY event belongs to the corpus's min
+    user_id (hot-key limit; event identity and ordering untouched)."""
+    out = tmp_path_factory.mktemp("oneuser_sf")
+    con = duckdb.connect()
+    src = pathlib.Path(SF_DIR)
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"""COPY (SELECT event_id, ts,
+                    (SELECT min(user_id) FROM '{src}/events.parquet')
+                      AS user_id,
+                    event_type, value, props
+                    FROM '{src}/events.parquet')
+                    TO '{out}/events.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(out)
+
+
+@pytest.fixture(scope="session")
+def one_lang_sf_dir(tmp_path_factory):
+    """Documents twin where EVERY document carries the corpus's min
+    lang (monolingual-slice limit; text untouched)."""
+    out = tmp_path_factory.mktemp("onelang_sf")
+    con = duckdb.connect()
+    src = pathlib.Path(SF_DIR)
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"""COPY (SELECT doc_id, text,
+                    (SELECT min(lang) FROM '{src}/documents.parquet')
+                      AS lang,
+                    source, n_chars
+                    FROM '{src}/documents.parquet')
+                    TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(out)
+
+
+@pytest.mark.parametrize("qid", _TEMPORAL_QIDS)
+def test_query_survives_one_user(spark, one_user_sf_dir, qid):
+    df = engine.QUERIES[qid](spark, one_user_sf_dir)
+    assert df.count() >= 0
+
+
+@pytest.mark.parametrize("qid", sorted(set(_TEXT_QIDS) | set(_LANG_EXTRA_QIDS)))
+def test_query_survives_one_lang(spark, one_lang_sf_dir, qid):
+    df = engine.QUERIES[qid](spark, one_lang_sf_dir)
+    assert df.count() >= 0
