@@ -99,6 +99,10 @@ _TEXT_QIDS = [
     "llm_winsorize_clip",
     "llm_zipf_slope",
     "mm_audio_features",
+    "mm_frame_sample",
+    "mm_image_features",
+    "mm_image_resize",
+    "mm_payload_dedup",
     "source_schema_evolution",
     "source_text_roundtrip",
     "sql_lateral_view_explode",

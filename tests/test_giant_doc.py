@@ -74,3 +74,54 @@ def giant_doc_sf_dir(tmp_path_factory):
 def test_query_survives_giant_doc(spark, giant_doc_sf_dir, qid):
     df = engine.QUERIES[qid](spark, giant_doc_sf_dir)
     assert df.count() >= 0
+
+
+# The events.props JSON consumers (functions.fn_json parses '$.k' with
+# get_json_object; seeds14.fn_variant_surface ingests props as VARIANT).
+_PROPS_QIDS = ["fn_json", "fn_variant_surface"]
+
+
+@pytest.fixture(scope="session")
+def giant_props_sf_dir(tmp_path_factory):
+    """Fixture twin where one event's props is a ~1 MB JSON object with
+    10k filler keys BEFORE the queried '$.k' key — the
+    enriched-beyond-reason payload a logging pipeline eventually ships;
+    JSON-path extraction must stay linear in the blob and the queried
+    key must still parse from the tail."""
+    out = tmp_path_factory.mktemp("giantprops_sf")
+    con = duckdb.connect()
+    src = pathlib.Path(SF_DIR)
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"""COPY (
+                    WITH big AS (
+                      SELECT '{{'
+                             || (SELECT string_agg(
+                                   '"pad' || i || '":"'
+                                   || repeat('x', 90) || '"', ',')
+                                 FROM range(10000) t(i))
+                             || ',"k":7}}' AS blob
+                    )
+                    SELECT event_id, ts, user_id, event_type, value,
+                      CASE WHEN event_id =
+                             (SELECT max(event_id)
+                              FROM '{src}/events.parquet')
+                           THEN (SELECT blob FROM big)
+                           ELSE props END AS props
+                    FROM '{src}/events.parquet')
+                    TO '{out}/events.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(out)
+
+
+@pytest.mark.parametrize("qid", _PROPS_QIDS)
+def test_query_survives_giant_props(spark, giant_props_sf_dir, qid):
+    df = engine.QUERIES[qid](spark, giant_props_sf_dir)
+    assert df.count() >= 0
