@@ -171,9 +171,14 @@ def test_char_shingles_chunking_matches_python_sliding_window(spark):
         C + NGRAM - 2, C + NGRAM - 1, C + NGRAM,  # around one chunk's reach
         2 * C, 2 * C + 3,  # two boundaries
     ]
-    alphabet = "abcde "
+    # Mixed-width alphabets: chunk offsets are CHARACTER positions, and
+    # multi-byte characters are exactly where UTF8String's byte/char
+    # offset arithmetic can diverge — even-numbered docs use 1-byte
+    # chars, odd-numbered mix 2- and 3-byte ones.
+    alphabets = ["abcde ", "aé⊕b é"]
     rows = []
     for i, n in enumerate(lengths):
+        alphabet = alphabets[i % 2]
         body = "".join(alphabet[(j * 7 + i) % len(alphabet)] for j in range(n))
         rows.append((i, "en", body))
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
