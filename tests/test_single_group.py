@@ -110,3 +110,30 @@ def test_query_survives_one_user(spark, one_user_sf_dir, qid):
 def test_query_survives_one_lang(spark, one_lang_sf_dir, qid):
     df = engine.QUERIES[qid](spark, one_lang_sf_dir)
     assert df.count() >= 0
+
+
+def test_one_user_semantics_fully_determined(spark, one_user_sf_dir):
+    """Where one user makes the answer a theorem, pin the value, not
+    just survival: every active day has DAU = WAU = 1; every event-type
+    pair shares the single user exactly (jaccard 1, |both| = |either|
+    = 1); exactly one first-seen day corpus-wide, and each day's
+    new + returning = 1."""
+    rows = engine.QUERIES["events_dau_wau"](
+        spark, one_user_sf_dir
+    ).collect()
+    assert rows and all(r["dau"] == 1 and r["wau"] == 1 for r in rows)
+
+    rows = engine.QUERIES["events_user_overlap_jaccard"](
+        spark, one_user_sf_dir
+    ).collect()
+    assert rows and all(
+        r["n_both"] == 1 and r["n_either"] == 1 and r["jaccard"] == 1.0
+        for r in rows
+    )
+
+    rows = engine.QUERIES["events_new_vs_returning"](
+        spark, one_user_sf_dir
+    ).collect()
+    assert rows
+    assert sum(r["n_new"] for r in rows) == 1
+    assert all(r["n_new"] + r["n_returning"] == 1 for r in rows)
