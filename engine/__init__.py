@@ -105,6 +105,12 @@ from engine import windows as windows  # noqa: F401
 #                                          re-verified at 3 SFs,
 #                                          tests/test_giant_doc.py +
 #                                          BASELINE.md r6 entries)
+#   udf_apply_in_pandas or udf_map_in_pandas (sentinel-ts fix: input
+#                                          projected to consumed
+#                                          columns before the Python
+#                                          channel; re-verified at
+#                                          3 SFs, tests/
+#                                          test_sentinel_timestamps.py)
 # = 8 of the 9 spare slots; llm_simhash_recall (also changed) is
 # already in the 41. 9th slot: one of the five roundtrip/sink queries
 # upgraded from rows-only to full oracles late in r6 (source_csv/

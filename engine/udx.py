@@ -124,6 +124,16 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-formula as engine.det (numpy doubles are IEEE, so both sides
     round identically); single-event users yield NULL (stddev_samp of a
     1-row group is NULL in SQL, NaN→None here).
+
+    The input is PROJECTED to the three consumed columns before the
+    groupBy: Spark cannot prune columns through applyInPandas (the
+    grouped-map UDF receives every input column), so without the
+    select the full row — ts, event_type, the props JSON — round-trips
+    through Arrow into pandas for a 3-column computation: wasted
+    serialization bandwidth at any scale, and a crash with sentinel
+    dates (the grouped-map path coerces timestamp[us] → [ns], which
+    overflows past year 2262 — the 9999-12-31 'no end date' sentinel
+    aborted here; tests/test_sentinel_timestamps.py).
     """
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -137,7 +147,7 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
     return ev.groupBy("user_id").applyInPandas(
         zscore, schema="event_id long, user_id long, z double"
     )
@@ -153,7 +163,11 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-wise mapInPandas filter+project over Arrow batch
-    iterators (SURVEY.md §2.K udf_map_in_pandas)."""
+    iterators (SURVEY.md §2.K udf_map_in_pandas). Input projected to
+    the consumed columns first — Spark cannot prune columns through
+    the opaque Python function, so without the select every events
+    byte (ts, event_type, props) rides the Arrow channel for nothing
+    (same waste udf_apply_in_pandas had; see its docstring)."""
 
     def flt(batches):
         for pdf in batches:
@@ -166,7 +180,7 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
     return ev.mapInPandas(flt, schema="event_id long, user_id long, v2 double")
 
 

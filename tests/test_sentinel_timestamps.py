@@ -1,0 +1,61 @@
+"""Sentinel-timestamp sweep (SURVEY.md §5 adversarial-input layer): the
+temporal family must SURVIVE a twin where ~1 event in 50 carries the
+warehouse "no end date" sentinel TIMESTAMP '9999-12-31 23:59:59' and
+~1 in 50 carries epoch 0 — both endemic in real feeds (NULL-avoiding
+schemas, zeroed clocks, unit-confused producers). Year 9999 sits far
+outside pandas' datetime64[ns] range (which ends 2262-04-11), so every
+Arrow/pandas conversion path — grouped/cogrouped/map UDFs, pandas
+round-trips — is one coercion away from an OutOfBounds abort; it also
+stresses window frames and gap math with ±8000-year spans and
+watermarks that leap past all other data.
+
+Only survival is asserted — with sentinel instants injected,
+different-but-valid results are expected (the sentinel becomes the max
+everywhere, gaps become astronomical); the differential suite owns
+value correctness on the canonical fixtures.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import duckdb
+import pytest
+
+import engine
+from engine.session import TABLES
+from tests.conftest import SF_DIR
+from tests.test_tied_timestamps import _TEMPORAL_QIDS
+
+
+@pytest.fixture(scope="session")
+def sentinel_ts_sf_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("sentinelts_sf")
+    con = duckdb.connect()
+    src = pathlib.Path(SF_DIR)
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"""COPY (SELECT event_id,
+                    CASE WHEN event_id % 50 = 11
+                           THEN TIMESTAMP '9999-12-31 23:59:59'
+                         WHEN event_id % 50 = 29
+                           THEN TIMESTAMP '1970-01-01 00:00:00'
+                         ELSE ts END AS ts,
+                    user_id, event_type, value, props
+                    FROM '{src}/events.parquet')
+                    TO '{out}/events.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(out)
+
+
+@pytest.mark.parametrize("qid", _TEMPORAL_QIDS)
+def test_query_survives_sentinel_timestamps(spark, sentinel_ts_sf_dir, qid):
+    df = engine.QUERIES[qid](spark, sentinel_ts_sf_dir)
+    assert df.count() >= 0
