@@ -25,7 +25,6 @@ import pytest
 import engine
 from engine.session import TABLES
 from tests.conftest import SF_DIR
-from tests.test_tied_timestamps import _TEMPORAL_QIDS
 
 
 @pytest.fixture(scope="session")
@@ -55,7 +54,10 @@ def sentinel_ts_sf_dir(tmp_path_factory):
     return str(out)
 
 
-@pytest.mark.parametrize("qid", _TEMPORAL_QIDS)
+# Registry-wide, not just the temporal family: the crash this sweep
+# caught was in a query whose UDF never READS ts — any operator that
+# merely carries the column across an Arrow/pandas boundary is exposed.
+@pytest.mark.parametrize("qid", sorted(engine.QUERIES))
 def test_query_survives_sentinel_timestamps(spark, sentinel_ts_sf_dir, qid):
     df = engine.QUERIES[qid](spark, sentinel_ts_sf_dir)
     assert df.count() >= 0
