@@ -17,32 +17,38 @@ from engine import registry as registry  # noqa: F401
 #
 # ORDER MATTERS for the driver's correctness sweep: it checks queries in
 # registration order and caps the per-round report at 50 rows
-# (CORRECTNESS_r01/r02 each held exactly the first 50 registrations).
-# Each round the modules whose queries still LACK a green driver row
-# register first; families already proven in a prior round register last
-# and absorb the truncation.
+# (CORRECTNESS_r01-r06 each held exactly the first 50 registrations).
+# Through round 6 the window was steered by module import order; from
+# round 7 the exact window is pinned explicitly via
+# ``registry.promote(_R7_WINDOW)`` at the bottom of this file (import
+# order alone cannot place a single re-check query from a large
+# already-green module into the window without dragging its siblings).
 #
-# Round-6 window (exactly 50, per the rotation plan recorded in r5 and
-# VERDICT r5 item 1): the first half of the 91-op untested backlog —
-# seeds8-13 (49 never-driver-checked operators) — plus seeds22's
-# llm_dedup_recall in the single re-check slot (its pair-frame caching
-# was changed this round per VERDICT r5 item 3, so the changed code
-# path gets a fresh driver row AND leaves only 41 ops for the round-7
-# window):
-#   seeds8  (15) lateral_topk/lambda/map/interpolate/welch/mad/
-#                running_distinct/ewma/dq_report/profile_stats/
-#                compaction/mixture_epochs/intersect_all/chat_template/
-#                tws_counter
-#   seeds9  (10) recursive/countmin/seasonal/url/rowgroup/hll_mergeable/
-#                try_arith/edit_distance/user_overlap/weighted_median
-#   seeds10 (10) pivot/unpivot/string_agg/group_by_all/xml/codec/
-#                attribution/centroids/nth_value/prefix_cluster
-#   seeds11 (6)  regr/median_mode/aes/natural_join/arrow_scalar/hist2d
-#   seeds12 (4)  autocorr/cusum/benford/gini
-#   seeds13 (4)  survival/equidepth/analyze_stats/haversine
-#   seeds22 (1)  llm_dedup_recall — localCheckpoint fix re-check
-# = exactly the 50-row window (verified by test_plans' window pin).
-# Round-7 window: seeds14-21 + seeds23-27 = 41 ops (+9 re-check slots).
+# Round-7 window (exactly 50, per VERDICT r6 items 1-2): the ENTIRE
+# remaining 41-op untested backlog — seeds14-27, every operator that has
+# never held a driver correctness row — plus 9 re-check slots for the
+# r6-changed code paths and one rows-only→oracle upgrade representative
+# (enumerated at _R7_RECHECKS below). This finishes the rotation begun
+# in r5: after a green r7, all 289 registered operators have a driver
+# row and the window discipline can retire to steady-state re-checks.
+from engine import seeds14 as seeds14  # noqa: F401
+from engine import seeds15 as seeds15  # noqa: F401
+from engine import seeds16 as seeds16  # noqa: F401
+from engine import seeds17 as seeds17  # noqa: F401
+from engine import seeds18 as seeds18  # noqa: F401
+from engine import seeds19 as seeds19  # noqa: F401
+from engine import seeds20 as seeds20  # noqa: F401
+from engine import seeds21 as seeds21  # noqa: F401
+from engine import seeds23 as seeds23  # noqa: F401
+from engine import seeds24 as seeds24  # noqa: F401
+from engine import seeds25 as seeds25  # noqa: F401
+from engine import seeds26 as seeds26  # noqa: F401
+from engine import seeds27 as seeds27  # noqa: F401
+
+# Proven families (green in a prior round) register after the backlog;
+# promote() below makes the exact order past position 50 irrelevant to
+# the driver window, but keeping backlog-first import order means the
+# file still reads in rotation order.
 from engine import seeds8 as seeds8  # noqa: F401
 from engine import seeds9 as seeds9  # noqa: F401
 from engine import seeds10 as seeds10  # noqa: F401
@@ -50,8 +56,6 @@ from engine import seeds11 as seeds11  # noqa: F401
 from engine import seeds12 as seeds12  # noqa: F401
 from engine import seeds13 as seeds13  # noqa: F401
 from engine import seeds22 as seeds22  # noqa: F401
-
-# Proven families (green in a prior round) absorb the truncation.
 from engine import seeds5 as seeds5  # noqa: F401
 from engine import seeds6 as seeds6  # noqa: F401
 from engine import seeds7 as seeds7  # noqa: F401
@@ -76,66 +80,66 @@ from engine import relational as relational  # noqa: F401
 from engine import functions as functions  # noqa: F401
 from engine import windows as windows  # noqa: F401
 
-# Next-rotation seeds (round-7 window, 41 ops): registered past this
-# round's correctness window on purpose (the 50-row cap is spoken for
-# by seeds8-13 + seeds22) — oracled and locally differential-tested at
-# sf0.001/0.01/0.1; rotate FIRST next round:
-#   round 7 window: seeds14(5)+seeds15(6)+seeds16(5)+seeds17(4)+
-#                   seeds18(4)+seeds19(2)+seeds20(1)+seeds21(2)+
-#                   seeds23(2)+seeds24(2)+seeds25(2)+seeds26(4)+
-#                   seeds27(2) = 41 (+9 re-check slots)
-# Round-7 re-check slot candidates — the queries whose CODE CHANGED in
-# round 6 without landing in the r6 window (each holds a green prior
-# driver row + the post-change sf0.1 differential, BASELINE.md):
-#   llm_lsh_neardup, llm_ngram_lsh        (materialize_tok + spread +
-#                                          chunked char_shingles)
-#   llm_dedup_clusters, llm_dedup_survivors, llm_dedup_pipeline
-#                                         (dedup_labels memo / edges)
-#   llm_simhash, llm_simhash_neardup      (_simhash_df docs param +
-#                                          simhash_neardup_pairs split
-#                                          + spread)
-#   llm_ngram_novelty or llm_tfidf_topterms (spread-touched producers:
-#                                          tokens()/char_shingles()
-#                                          consumers; the 28-pair sf0.1
-#                                          subset sweep covers all)
-#   llm_fingerprint or llm_decontaminate  (giant-doc fix: token array
-#                                          bound outside the transform
-#                                          lambda; char_shingles itself
-#                                          chunked — every consumer
-#                                          re-verified at 3 SFs,
-#                                          tests/test_giant_doc.py +
-#                                          BASELINE.md r6 entries)
-#   udf_apply_in_pandas or udf_map_in_pandas (sentinel-ts fix: input
-#                                          projected to consumed
-#                                          columns before the Python
-#                                          channel; re-verified at
-#                                          3 SFs, tests/
-#                                          test_sentinel_timestamps.py)
-# = 8 of the 9 spare slots; llm_simhash_recall (also changed) is
-# already in the 41. 9th slot: one of the five roundtrip/sink queries
-# upgraded from rows-only to full oracles late in r6 (source_csv/
-# json/orc/text_roundtrip, sink_partitioned_parquet — all green at 3
-# SFs locally; a driver hash row would confirm one representative),
-# or llm_minhash_sketch (same upgrade).
-# NO new seed operators this round (VERDICT r5 item 2: freeze until the
-# untested backlog fits one window).
-from engine import seeds14 as seeds14  # noqa: F401
-from engine import seeds15 as seeds15  # noqa: F401
-from engine import seeds16 as seeds16  # noqa: F401
-from engine import seeds17 as seeds17  # noqa: F401
-from engine import seeds18 as seeds18  # noqa: F401
-from engine import seeds19 as seeds19  # noqa: F401
-from engine import seeds20 as seeds20  # noqa: F401
-from engine import seeds21 as seeds21  # noqa: F401
-from engine import seeds23 as seeds23  # noqa: F401
-from engine import seeds24 as seeds24  # noqa: F401
-from engine import seeds25 as seeds25  # noqa: F401
-from engine import seeds26 as seeds26  # noqa: F401
-from engine import seeds27 as seeds27  # noqa: F401
-
 # Deferred (callable) oracles compose other registered oracles; resolve
 # them now that every module has imported.
 registry.resolve_oracles()
+
+# Round-7 re-check slots (VERDICT r6 item 2) — exactly the 9 spare
+# window positions after the 41-op backlog. Selection, from the list
+# enumerated in r6 (each holds a green prior driver row + the
+# post-change sf0.1 differential, BASELINE.md):
+#   llm_lsh_neardup, llm_ngram_lsh    r6 materialize_tok + spread +
+#                                     chunked char_shingles rewrite
+#   llm_dedup_clusters, llm_dedup_survivors, llm_dedup_pipeline
+#                                     the full dedup-memo trio (r6
+#                                     dedup_labels memo / shared edges)
+#   llm_simhash_neardup               r6 simhash_neardup_pairs split —
+#                                     executes _simhash_df too, so it
+#                                     covers the llm_simhash change with
+#                                     one slot
+#   llm_fingerprint                   giant-doc fix representative
+#                                     (token array bound outside the
+#                                     transform lambda)
+#   udf_apply_in_pandas               sentinel-ts fix representative
+#                                     (input projected to consumed
+#                                     columns before the Python channel)
+#   source_csv_roundtrip              the rows-only→full-oracle upgrade
+#                                     representative (r6 gave it a real
+#                                     oracle; driver last saw rows-only)
+# Deferred to the ROUND-8 window (first in line once r7 is green): the
+# remaining five oracle upgrades without a driver hash row —
+# source_json_roundtrip, source_orc_roundtrip, source_text_roundtrip,
+# sink_partitioned_parquet, llm_minhash_sketch — plus llm_ngram_novelty
+# and llm_decontaminate (spread/giant-doc-touched producers covered
+# locally by the sf0.1 sweep but not yet re-checked driver-side).
+# NO new seed operators this round (freeze holds until the backlog is
+# zero; registry stays at 289).
+_R7_RECHECKS = [
+    "llm_lsh_neardup",
+    "llm_ngram_lsh",
+    "llm_dedup_clusters",
+    "llm_dedup_survivors",
+    "llm_dedup_pipeline",
+    "llm_simhash_neardup",
+    "llm_fingerprint",
+    "udf_apply_in_pandas",
+    "source_csv_roundtrip",
+]
+
+_R7_BACKLOG_MODULES = {
+    f"engine.seeds{n}" for n in (14, 15, 16, 17, 18, 19, 20, 21,
+                                 23, 24, 25, 26, 27)
+}
+
+# The 41 never-driver-checked ops, in their module registration order,
+# then the 9 re-checks = the exact 50-row round-7 driver window
+# (pinned by tests/test_plans.py::test_round7_correctness_window_priority).
+_R7_WINDOW = [
+    q
+    for q in registry.QUERIES
+    if registry.QUERIES[q].__module__ in _R7_BACKLOG_MODULES
+] + _R7_RECHECKS
+registry.promote(_R7_WINDOW)
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

@@ -78,6 +78,36 @@ def query(
     return deco
 
 
+def promote(window_ids: list[str]) -> None:
+    """Pin the driver's correctness window: reorder ``QUERIES`` so
+    ``window_ids`` occupy the first positions, in the given order.
+
+    The driver checks queries in registration (dict) order and caps the
+    per-round report at 50 rows (CORRECTNESS_r01-r06 each hold exactly
+    50). Through round 6 the window was steered purely by module import
+    order in ``engine/__init__``, which works for whole-module rotations
+    but cannot place a single re-check query from a large, already-green
+    module (e.g. ``llm_lsh_neardup`` inside engine.scale_ops) into the
+    window without dragging its 14 siblings along. ``promote`` decouples
+    window membership from import order: ``engine/__init__`` names the
+    round's exact window after all modules have registered.
+
+    Raises on unknown or duplicate ids so a typo'd rotation fails at
+    import time (i.e. in every test run), not silently at driver time.
+    """
+    seen: set[str] = set()
+    for qid in window_ids:
+        if qid not in QUERIES:
+            raise ValueError(f"promote: unknown query id: {qid}")
+        if qid in seen:
+            raise ValueError(f"promote: duplicate query id: {qid}")
+        seen.add(qid)
+    rest = [q for q in QUERIES if q not in seen]
+    reordered = {q: QUERIES[q] for q in list(window_ids) + rest}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
 def resolve_oracles() -> None:
     """Resolve deferred (callable) oracles in place.
 

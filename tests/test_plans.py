@@ -464,29 +464,27 @@ def test_exact_witness_absolute_caps_pushed(spark):
     assert "JACCARD_WITNESS_MAX_ID" in body
 
 
-def test_round6_correctness_window_priority():
+def test_round7_correctness_window_priority():
     """The driver's correctness report caps at 50 rows in registration
-    order, so the round-6 rotation (engine/__init__) is load-bearing:
-    the first half of the 91-op untested backlog — seeds8-13, 49
-    never-driver-checked operators — MUST occupy the first 49 slots,
-    with seeds22's llm_dedup_recall (pair-frame caching changed this
-    round per VERDICT r5 item 3) in the single re-check slot at
-    position 50. Update when rotating next round (round-7 window:
-    seeds14-21 + seeds23-27 = 41 ops)."""
+    order, so the round-7 rotation (engine/__init__, via
+    registry.promote) is load-bearing: the ENTIRE remaining 41-op
+    untested backlog — seeds14-27, every operator that has never held a
+    driver correctness row — MUST occupy the first 41 slots, with the 9
+    enumerated re-checks (r6-changed code paths + the
+    rows-only→oracle-upgrade representative, VERDICT r6 item 2) at
+    positions 42-50. After a green r7 all 289 operators have a driver
+    row and this pin retires to steady-state re-check windows."""
     ids = list(engine.QUERIES)
     backlog = [
         q for q in ids
-        if engine.QUERIES[q].__module__
-        in (
-            "engine.seeds8", "engine.seeds9", "engine.seeds10",
-            "engine.seeds11", "engine.seeds12", "engine.seeds13",
-        )
+        if engine.QUERIES[q].__module__ in engine._R7_BACKLOG_MODULES
     ]
-    assert len(backlog) == 49
-    assert ids[:49] == backlog, "a non-backlog op registered before seeds8-13"
-    # the one re-check slot: the evaluator whose caching changed this round
-    assert ids[49] == "llm_dedup_recall", (
-        "llm_dedup_recall fell out of the driver window"
+    assert len(backlog) == 41
+    assert ids[:41] == backlog, (
+        "a non-backlog op promoted before the seeds14-27 backlog"
+    )
+    assert ids[41:50] == engine._R7_RECHECKS, (
+        "a round-7 re-check slot fell out of the driver window"
     )
 
 
@@ -514,27 +512,13 @@ def test_no_untested_op_registers_past_window():
         if i < 50 or qid in driver_checked:
             continue
         mod = engine.QUERIES[qid].__module__
-        # seeds8-13 + seeds22 now sit INSIDE the round-6 window, so they
-        # are deliberately absent here — a refactor pushing one past the
-        # cap fails this assertion.
-        assert mod in (
-            "engine.seeds14",
-            "engine.seeds15",
-            "engine.seeds16",
-            "engine.seeds17",
-            "engine.seeds18",
-            "engine.seeds19",
-            "engine.seeds20",
-            "engine.seeds21",
-            "engine.seeds23",
-            "engine.seeds24",
-            "engine.seeds25",
-            "engine.seeds26",
-            "engine.seeds27",
-        ), (
-            f"{qid} ({mod}) at position {i + 1} has no driver row, is "
-            "past the 50-row window, and is not a declared next-round "
-            "seed — it would be silently untested"
+        # Round 7 rotated the FULL remaining backlog (seeds14-27) into
+        # the window, so there is no declared next-round-seed escape
+        # hatch any more: every qid past position 50 must already hold
+        # a driver row from some prior round.
+        raise AssertionError(
+            f"{qid} ({mod}) at position {i + 1} has no driver row and "
+            "is past the 50-row window — it would be silently untested"
         )
 
 
