@@ -150,7 +150,7 @@ def rolling_z_core(d: DataFrame) -> DataFrame:
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_codechars) AS BIGINT) AS code_chars,
-           ROUND(CAST(SUM(n_codechars) AS DOUBLE) / SUM(n_chars_t), 6)
+           ROUND(CAST(SUM(n_codechars) AS DOUBLE) / NULLIF(SUM(n_chars_t), 0), 6)
              AS code_char_share,
            CAST(SUM(CASE WHEN n_codechars * 50 > n_chars_t THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_codeish_docs
@@ -183,8 +183,10 @@ def llm_code_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_codechars").cast("bigint").alias("code_chars"),
         pround(
             # try_divide: a language whose every doc is empty has
-            # Σn_chars = 0 — NULL share, not an ANSI job abort (DuckDB's
-            # divide-by-zero is NULL, so the oracle already agrees).
+            # Σn_chars = 0 — NULL share, not an ANSI job abort. The
+            # oracle's NULLIF denominator makes the NULL explicit
+            # rather than relying on DuckDB-1.0.0's NULL-on-div0
+            # default (ADVICE r6: newer duckdb yields inf there).
             F.try_divide(
                 F.sum("n_codechars").cast("double"), F.sum("n_chars_t")
             ),

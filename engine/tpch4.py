@@ -46,7 +46,7 @@ Q21_LATE_DAYS = 60
     oracle=f"""
     WITH supply AS (
       SELECT l_partkey, l_suppkey,
-             MIN(l_extendedprice / l_quantity) AS unit_cost
+             MIN(l_extendedprice / NULLIF(l_quantity, 0)) AS unit_cost
       FROM lineitem GROUP BY 1, 2
     ), regional AS (
       SELECT s.s_suppkey, s.s_name, n.n_name
@@ -90,7 +90,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # try_divide: a zero-quantity line (fully returned/cancelled)
             # must yield a NULL unit cost MIN skips, not an ANSI abort;
-            # DuckDB's divide-by-zero is NULL, so the oracle agrees.
+            # the oracle's NULLIF denominator makes that NULL explicit
+            # instead of relying on DuckDB-1.0.0's NULL-on-div0 default
+            # (ADVICE r6: newer duckdb yields inf there).
             F.min(
                 F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
             ).alias("unit_cost")

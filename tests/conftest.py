@@ -25,9 +25,38 @@ def spark():
     yield s
 
 
+def duck_connect() -> "duckdb.DuckDBPyConnection":
+    """Oracle connection with the divide-by-zero semantics ENFORCED.
+
+    Every oracle that divides (cosine, agg_corr_matrix,
+    q2_min_cost_supplier, llm_code_fraction, ...) relies on DuckDB
+    returning NULL for DOUBLE division by zero — true on the pinned
+    duckdb 1.0.0, but newer versions default ieee_floating_point_ops=
+    true, making x/0.0 yield inf/nan and silently diverging from
+    Spark's try_divide NULL on degenerate inputs (ADVICE r6). So: pin
+    the setting where it exists, then ASSERT the semantics either way —
+    an upgrade that breaks the agreement fails loudly at connect time,
+    in every test, instead of as a value-hash mystery.
+    """
+    con = duckdb.connect()
+    try:
+        con.execute("SET ieee_floating_point_ops=false")
+    except duckdb.Error:
+        pass  # duckdb 1.0.0: setting absent, NULL-on-div0 is the default
+    got = con.execute("SELECT CAST(1.0 AS DOUBLE) / CAST(0.0 AS DOUBLE)").fetchone()[0]
+    if got is not None:
+        raise RuntimeError(
+            "DuckDB divide-by-zero returned "
+            f"{got!r}, not NULL (duckdb {duckdb.__version__}) — oracle "
+            "divide semantics no longer match Spark's try_divide; pin "
+            "ieee_floating_point_ops=false or downgrade duckdb"
+        )
+    return con
+
+
 @pytest.fixture(scope="session")
 def ddb():
-    con = duckdb.connect()
+    con = duck_connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR_ORACLE}/{t}.parquet')"

@@ -25,7 +25,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import SF_DIR
+from tests.conftest import duck_connect, SF_DIR
 
 # Every query that consumes documents.text, directly or through the
 # shared token/shingle/simhash helpers.
@@ -117,7 +117,7 @@ def degenerate_text_sf_dir(tmp_path_factory):
     (doc_id%13=3), whitespace-only (doc_id%17=5), single-char
     (doc_id%19=7); n_chars tracks the rewrite."""
     out = tmp_path_factory.mktemp("degtext_sf")
-    con = duckdb.connect()
+    con = duck_connect()
     src = pathlib.Path(SF_DIR)
     for t in TABLES:
         if t == "documents":

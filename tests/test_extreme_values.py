@@ -23,7 +23,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import SF_DIR
+from tests.conftest import duck_connect, SF_DIR
 
 # Every query that reads embeddings.embedding (directly or, for
 # llm_ann_recall, through its two composed searches).
@@ -53,7 +53,7 @@ def nonfinite_sf_dir(tmp_path_factory):
     -Inf (vec_id%31=11).  Keys/labels stay clean — poisoning is in the
     float payload only, the shape real pipelines see."""
     out = tmp_path_factory.mktemp("nonfinite_sf")
-    con = duckdb.connect()
+    con = duck_connect()
     src = pathlib.Path(SF_DIR)
     for t in TABLES:
         if t == "embeddings":

@@ -23,7 +23,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import SF_DIR
+from tests.conftest import duck_connect, SF_DIR
 from tests.test_degenerate_text import _TEXT_QIDS
 
 
@@ -33,7 +33,7 @@ def giant_doc_sf_dir(tmp_path_factory):
     a ~366k-char body (repeat-heavy first half, md5-stream second
     half); n_chars tracks the rewrite."""
     out = tmp_path_factory.mktemp("giantdoc_sf")
-    con = duckdb.connect()
+    con = duck_connect()
     src = pathlib.Path(SF_DIR)
     for t in TABLES:
         if t == "documents":
@@ -89,7 +89,7 @@ def giant_props_sf_dir(tmp_path_factory):
     JSON-path extraction must stay linear in the blob and the queried
     key must still parse from the tail."""
     out = tmp_path_factory.mktemp("giantprops_sf")
-    con = duckdb.connect()
+    con = duck_connect()
     src = pathlib.Path(SF_DIR)
     for t in TABLES:
         if t == "events":

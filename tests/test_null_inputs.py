@@ -27,7 +27,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import SF_DIR
+from tests.conftest import duck_connect, SF_DIR
 
 
 @pytest.fixture(scope="session")
@@ -35,7 +35,7 @@ def nulls_sf_dir(tmp_path_factory):
     """Fixture twin with ~2 % NULLs in nullable payload columns (never
     in keys/timestamps — those are structural)."""
     out = tmp_path_factory.mktemp("nulls_sf")
-    con = duckdb.connect()
+    con = duck_connect()
     src = pathlib.Path(SF_DIR)
     for t in TABLES:
         if t == "documents":
@@ -81,7 +81,7 @@ def all_nulls_sf_dir(tmp_path_factory):
     Found udf_apply_in_arrow's range arithmetic crashing on an
     all-NULL group when first run (round 6)."""
     out = tmp_path_factory.mktemp("allnull_sf")
-    con = duckdb.connect()
+    con = duck_connect()
     src = pathlib.Path(SF_DIR)
     for t in TABLES:
         if t == "documents":
@@ -122,7 +122,7 @@ def adversarial_sf_dir(tmp_path_factory):
     represent embedded newlines (fixed: excluded by contract, like
     NULLs); CSV/JSON/XML roundtrips survive via their quoting rules."""
     out = tmp_path_factory.mktemp("adv_sf")
-    con = duckdb.connect()
+    con = duck_connect()
     src = pathlib.Path(SF_DIR)
     for t in TABLES:
         if t == "documents":
@@ -182,7 +182,7 @@ def negative_sf_dir(tmp_path_factory):
     crashes; this pins the sqrt/log-bearing subset so a future edit
     cannot regress it."""
     out = tmp_path_factory.mktemp("neg_sf")
-    con = duckdb.connect()
+    con = duck_connect()
     src = pathlib.Path(SF_DIR)
     for t in TABLES:
         if t == "events":

@@ -24,13 +24,13 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import SF_DIR
+from tests.conftest import duck_connect, SF_DIR
 
 
 @pytest.fixture(scope="session")
 def sentinel_ts_sf_dir(tmp_path_factory):
     out = tmp_path_factory.mktemp("sentinelts_sf")
-    con = duckdb.connect()
+    con = duck_connect()
     src = pathlib.Path(SF_DIR)
     for t in TABLES:
         if t == "events":

@@ -24,7 +24,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import SF_DIR
+from tests.conftest import duck_connect, SF_DIR
 from tests.test_degenerate_text import _TEXT_QIDS
 from tests.test_tied_timestamps import _TEMPORAL_QIDS
 
@@ -53,7 +53,7 @@ def one_user_sf_dir(tmp_path_factory):
     """Events twin where EVERY event belongs to the corpus's min
     user_id (hot-key limit; event identity and ordering untouched)."""
     out = tmp_path_factory.mktemp("oneuser_sf")
-    con = duckdb.connect()
+    con = duck_connect()
     src = pathlib.Path(SF_DIR)
     for t in TABLES:
         if t == "events":
@@ -79,7 +79,7 @@ def one_lang_sf_dir(tmp_path_factory):
     """Documents twin where EVERY document carries the corpus's min
     lang (monolingual-slice limit; text untouched)."""
     out = tmp_path_factory.mktemp("onelang_sf")
-    con = duckdb.connect()
+    con = duck_connect()
     src = pathlib.Path(SF_DIR)
     for t in TABLES:
         if t == "documents":

@@ -23,7 +23,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import SF_DIR
+from tests.conftest import duck_connect, SF_DIR
 
 # The ts-ordering consumers of events: sequence analytics, time-series,
 # windows ordered by ts, streaming (event-time), temporal joins, and
@@ -95,7 +95,7 @@ def tied_ts_sf_dir(tmp_path_factory):
     """Fixture twin where users with user_id%7=2 have ALL their events
     at their first-seen instant (offline-queue flush shape)."""
     out = tmp_path_factory.mktemp("tiedts_sf")
-    con = duckdb.connect()
+    con = duck_connect()
     src = pathlib.Path(SF_DIR)
     for t in TABLES:
         if t == "events":
