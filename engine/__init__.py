@@ -107,11 +107,15 @@ registry.resolve_oracles()
 #                                     representative (r6 gave it a real
 #                                     oracle; driver last saw rows-only)
 # Deferred to the ROUND-8 window (first in line once r7 is green): the
-# remaining five oracle upgrades without a driver hash row —
+# oracle upgrades without a driver hash row —
 # source_json_roundtrip, source_orc_roundtrip, source_text_roundtrip,
-# sink_partitioned_parquet, llm_minhash_sketch — plus llm_ngram_novelty
-# and llm_decontaminate (spread/giant-doc-touched producers covered
-# locally by the sf0.1 sweep but not yet re-checked driver-side).
+# sink_partitioned_parquet, llm_minhash_sketch, and
+# stream_watermark_design (upgraded rows-only→full oracle in r7: the
+# single-file availableNow replay in complete mode is deterministic
+# and equals the batch 1-h × event_type aggregate) — plus
+# llm_ngram_novelty and llm_decontaminate (spread/giant-doc-touched
+# producers covered locally by the sf0.1 sweep but not yet re-checked
+# driver-side).
 # NO new seed operators this round (freeze holds until the backlog is
 # zero; registry stays at 289).
 _R7_RECHECKS = [
