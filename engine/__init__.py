@@ -115,7 +115,10 @@ registry.resolve_oracles()
 # and equals the batch 1-h × event_type aggregate) — plus
 # llm_ngram_novelty and llm_decontaminate (spread/giant-doc-touched
 # producers covered locally by the sf0.1 sweep but not yet re-checked
-# driver-side).
+# driver-side), and join_asof (r7 tie-rule fix: clicks sort before
+# purchases at equal ts, found by the hot-key sweep
+# tests/test_skewed_keys.py; re-verified locally at 3 SFs + the skew
+# twin, last driver row r1).
 # NO new seed operators this round (freeze holds until the backlog is
 # zero; registry stays at 289).
 _R7_RECHECKS = [

@@ -543,8 +543,15 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     running ``last(ignorenulls)`` window (SURVEY.md §4 'as-of join
     strategy'): one shuffle on user_id, one sort on ts — same cost shape as
     a sort-merge join, state bounded per partition, scales linearly.
-    (user_id, ts) pairs are unique (FIXTURES.md invariant 4) so `>=` tie
-    semantics never arise.
+
+    Tie rule (pinned by tests/test_skewed_keys.py, which manufactures
+    tied (user_id, ts) pairs the canonical fixture never has): the
+    oracle's ASOF `>=` makes a click AT the purchase's own instant
+    visible to it, so the window sorts clicks BEFORE purchases at equal
+    ts via the is-purchase secondary key — without it the within-tie
+    row order is partition-dependent and the result engine-divergent.
+    (Multiple tied clicks are harmless either way: only click_ts is
+    emitted, and it equals the shared instant.)
     """
     from pyspark.sql import Window as W
 
@@ -553,7 +560,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", (F.col("event_type") == "purchase").cast("int"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
