@@ -115,10 +115,17 @@ registry.resolve_oracles()
 # and equals the batch 1-h × event_type aggregate) — plus
 # llm_ngram_novelty and llm_decontaminate (spread/giant-doc-touched
 # producers covered locally by the sf0.1 sweep but not yet re-checked
-# driver-side), and join_asof (r7 tie-rule fix: clicks sort before
+# driver-side), join_asof (r7 tie-rule fix: clicks sort before
 # purchases at equal ts, found by the hot-key sweep
 # tests/test_skewed_keys.py; re-verified locally at 3 SFs + the skew
-# twin, last driver row r1).
+# twin, last driver row r1), and the r7 deterministic-close quartet
+# (ts_ewma_smooth, ts_interpolate_linear, ts_gap_fill, win_nth_value —
+# max_by(close, ts) replaced by a struct max over the unique
+# (ts, event_id) prefix after the tied-timestamps exact sweep caught
+# the tie ambiguity; re-verified at 3 SFs + all three twins) plus the
+# four rid-re-keyed oracles (fn_explode_outer, mm_image_features,
+# mm_image_resize, mm_audio_features — oracle-side join-back fan-out
+# under duplicate ids, Spark side untouched).
 # NO new seed operators this round (freeze holds until the backlog is
 # zero; registry stays at 289).
 _R7_RECHECKS = [

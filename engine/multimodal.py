@@ -75,11 +75,14 @@ def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_image_features",
     oracle="""
-    WITH ch AS (
-      SELECT doc_id, ORD(SUBSTRING(text, i, 1)) AS byte_val
-      FROM (SELECT doc_id, text,
+    WITH d2 AS (
+      SELECT ROW_NUMBER() OVER () AS rid, doc_id, text, n_chars
+      FROM documents
+    ), ch AS (
+      SELECT rid, ORD(SUBSTRING(text, i, 1)) AS byte_val
+      FROM (SELECT rid, text,
                    UNNEST(GENERATE_SERIES(1, LENGTH(text))) AS i
-            FROM documents)
+            FROM d2)
     )
     SELECT d.doc_id,
            CAST(d.n_chars % 64 + 1 AS INT) AS meta_width,
@@ -88,8 +91,8 @@ def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(ch.byte_val) AS BIGINT) AS byte_sum,
            ROUND(CAST(SUM(ch.byte_val) AS DOUBLE) / LENGTH(d.text), 4)
              AS byte_mean
-    FROM documents d JOIN ch ON d.doc_id = ch.doc_id
-    GROUP BY d.doc_id, d.n_chars, d.text
+    FROM d2 d JOIN ch USING (rid)
+    GROUP BY d.rid, d.doc_id, d.n_chars, d.text
     """,
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,25 +221,28 @@ RESIZE_OUT = 4  # output grid: 4×4
 @query(
     "mm_image_resize",
     oracle=f"""
-    WITH px AS (
-      SELECT doc_id,
+    WITH d2 AS (
+      SELECT ROW_NUMBER() OVER () AS rid, doc_id, text, n_chars
+      FROM documents
+    ), px AS (
+      SELECT rid, doc_id,
              ORD(SUBSTRING(text,
                CAST((((p // {RESIZE_OUT}) * (n_chars % 12 + 8) // {RESIZE_OUT})
                       * (n_chars % 16 + 8)
                     + ((p % {RESIZE_OUT}) * (n_chars % 16 + 8) // {RESIZE_OUT})
                     ) % n_chars + 1 AS BIGINT),
                1)) AS v
-      FROM (SELECT doc_id, text, n_chars,
+      FROM (SELECT rid, doc_id, text, n_chars,
                    UNNEST(GENERATE_SERIES(0, {RESIZE_OUT * RESIZE_OUT - 1}))
                      AS p
-            FROM documents)
+            FROM d2)
     )
     SELECT doc_id,
            CAST({RESIZE_OUT} AS INT) AS out_w,
            CAST({RESIZE_OUT} AS INT) AS out_h,
            CAST(SUM(v) AS BIGINT) AS pixel_sum,
            CAST(SUM(v * v) AS BIGINT) AS pixel_sq_sum
-    FROM px GROUP BY doc_id
+    FROM px GROUP BY rid, doc_id
     """,
 )
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

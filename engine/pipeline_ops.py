@@ -598,21 +598,23 @@ def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_audio_features",
     oracle=f"""
-    WITH ch AS (
-      SELECT doc_id, CAST((i - 1) // {AUDIO_FRAME} AS INT) AS frame,
+    WITH d2 AS (
+      SELECT ROW_NUMBER() OVER () AS rid, doc_id, text FROM documents
+    ), ch AS (
+      SELECT rid, CAST((i - 1) // {AUDIO_FRAME} AS INT) AS frame,
              ORD(SUBSTRING(text, i, 1)) AS v
-      FROM (SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, LENGTH(text))) AS i
-            FROM documents)
+      FROM (SELECT rid, text, UNNEST(GENERATE_SERIES(1, LENGTH(text))) AS i
+            FROM d2)
     ), fr AS (
-      SELECT doc_id, frame, SUM(v * v) AS e FROM ch GROUP BY 1, 2
+      SELECT rid, frame, SUM(v * v) AS e FROM ch GROUP BY 1, 2
     )
-    SELECT f.doc_id,
+    SELECT d.doc_id,
            CAST(COUNT(*) AS INT) AS n_frames,
            CAST(MAX(f.e) AS BIGINT) AS peak_energy,
            CAST(SUM(f.e) AS BIGINT) AS total_energy,
            ROUND(SQRT(CAST(SUM(f.e) AS DOUBLE) / LENGTH(d.text)), 4) AS rms
-    FROM fr f JOIN documents d ON f.doc_id = d.doc_id
-    GROUP BY f.doc_id, LENGTH(d.text)
+    FROM fr f JOIN d2 d USING (rid)
+    GROUP BY f.rid, d.doc_id, LENGTH(d.text)
     """,
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:

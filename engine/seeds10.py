@@ -477,7 +477,8 @@ def mm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT user_id,
              CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
-             MAX_BY({_CENTS_SQL}, ts) AS close_c
+             (MAX({{'ts': ts, 'id': event_id, 'c': {_CENTS_SQL}}})).c
+               AS close_c
       FROM events GROUP BY 1, 2
     )
     SELECT user_id, day, close_c,
@@ -506,9 +507,18 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
             _cents().alias("c"),
             "ts",
+            "event_id",
         )
         .groupBy("user_id", "day")
-        .agg(F.max_by("c", "ts").alias("close_c"))
+        # Deterministic daily close: lexicographic struct max over the
+        # UNIQUE (ts, event_id) prefix — max_by(c, ts) alone is
+        # arbitrary among tied timestamps and engine-divergent (caught
+        # by the tied-timestamps exact sweep, tests/test_tied_timestamps.py).
+        .agg(
+            F.max(F.struct("ts", "event_id", "c"))
+            .getField("c")
+            .alias("close_c")
+        )
     )
     w = (
         W.partitionBy("user_id")

@@ -181,15 +181,15 @@ def sql_lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_explode_outer",
     oracle="""
     WITH d AS (
-      SELECT doc_id,
+      SELECT ROW_NUMBER() OVER () AS rid, doc_id,
              CASE WHEN doc_id % 3 = 0 THEN []
                   ELSE STRING_SPLIT(SUBSTRING(text, 1, 20), ' ') END AS arr
       FROM documents
     )
     SELECT d.doc_id, u.tok, CAST(1 AS BIGINT) AS marker
     FROM d LEFT JOIN (
-      SELECT doc_id, UNNEST(arr) AS tok FROM d
-    ) u USING (doc_id)
+      SELECT rid, UNNEST(arr) AS tok FROM d
+    ) u USING (rid)
     """,
 )
 def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,8 +202,12 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle builds the same null-preserving semantics with a LEFT
     JOIN against the UNNEST (DuckDB's unnest drops empties too — the
-    join-back IS the portable spelling). Same Generate operator, outer
-    flag set; row counts prove no document vanishes.
+    join-back IS the portable spelling), keyed on a synthetic
+    ROW_NUMBER rid rather than doc_id: explode_outer is strictly
+    PER-ROW, and a doc_id-keyed join-back silently fans out across
+    rows sharing a duplicated id (caught by the duplicate-keys exact
+    sweep, tests/test_duplicate_rows.py). Same Generate operator,
+    outer flag set; row counts prove no document vanishes.
     """
     d = load(spark, sf_dir, "documents").select(
         "doc_id",

@@ -218,7 +218,8 @@ def fn_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT user_id,
              CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
-             MAX_BY({_CENTS_SQL}, ts) AS close_c
+             (MAX({{'ts': ts, 'id': event_id, 'c': {_CENTS_SQL}}})).c
+               AS close_c
       FROM events GROUP BY 1, 2
     ), span AS (
       SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY user_id
@@ -278,9 +279,18 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
             _cents().alias("c"),
             "ts",
+            "event_id",
         )
         .groupBy("user_id", "day")
-        .agg(F.max_by("c", "ts").alias("close_c"))
+        # Deterministic daily close: lexicographic struct max over the
+        # UNIQUE (ts, event_id) prefix — max_by(c, ts) alone is
+        # arbitrary among tied timestamps and engine-divergent (caught
+        # by the tied-timestamps exact sweep, tests/test_tied_timestamps.py).
+        .agg(
+            F.max(F.struct("ts", "event_id", "c"))
+            .getField("c")
+            .alias("close_c")
+        )
     )
     return interpolate_core(d)
 
@@ -593,7 +603,8 @@ _EWMA_NUM, _EWMA_DEN = _ewma_terms_sql()
     WITH d AS (
       SELECT user_id,
              CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
-             MAX_BY({_CENTS_SQL}, ts) AS close_c
+             (MAX({{'ts': ts, 'id': event_id, 'c': {_CENTS_SQL}}})).c
+               AS close_c
       FROM events GROUP BY 1, 2
     )
     SELECT user_id, day, close_c,
@@ -626,9 +637,18 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
             _cents().alias("c"),
             "ts",
+            "event_id",
         )
         .groupBy("user_id", "day")
-        .agg(F.max_by("c", "ts").alias("close_c"))
+        # Deterministic daily close: lexicographic struct max over the
+        # UNIQUE (ts, event_id) prefix — max_by(c, ts) alone is
+        # arbitrary among tied timestamps and engine-divergent (caught
+        # by the tied-timestamps exact sweep, tests/test_tied_timestamps.py).
+        .agg(
+            F.max(F.struct("ts", "event_id", "c"))
+            .getField("c")
+            .alias("close_c")
+        )
     )
     return ewma_core(d)
 

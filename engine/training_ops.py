@@ -684,7 +684,8 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT user_id,
              CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
-             MAX_BY(value, ts) AS close_value,
+             (MAX({'ts': ts, 'id': event_id, 'v': value})).v
+               AS close_value,
              COUNT(*) AS n_events
       FROM events GROUP BY 1, 2
     ), span AS (
@@ -727,8 +728,12 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("day"),
         )
+        # Deterministic close under tied timestamps: struct max over
+        # the unique (ts, event_id) prefix (see ts_ewma_smooth).
         .agg(
-            F.max_by("value", "ts").alias("close_value"),
+            F.max(F.struct("ts", "event_id", "value"))
+            .getField("value")
+            .alias("close_value"),
             F.count("*").alias("n_events"),
         )
     )

@@ -14,10 +14,22 @@ shape: same key, DIFFERENT payload — harsher than verbatim, since
 conflicting values). lineitem gets a verbatim ~5 % duplication so the
 relational family sees non-unique (orderkey, linenumber) too.
 
-Only survival is asserted, not value equality: with duplicated input,
-different-but-valid results are expected (counts shift, survivors may
-change) — the differential suite owns value correctness on the
-canonical fixtures.
+Two assertion tiers (upgraded in r7 from survival-only):
+
+- EXACT: every oracled query outside the doc-identity family must
+  hash-match its DuckDB oracle ON THE TWIN — both engines see the same
+  duplicated data, so a divergence means the Spark plan or the oracle
+  spelling silently assumed key uniqueness (this tier caught four
+  oracle join-back fan-outs on its first run: fn_explode_outer and the
+  three multimodal feature oracles, all re-keyed onto synthetic row
+  ids).
+- SURVIVAL: the doc-identity family (_DOC_IDENTITY_QIDS below) — the
+  dedup/near-dup/decontamination evaluators whose semantic SUBJECT is
+  the document id. For them, unique doc_id is a declared INPUT
+  CONTRACT: a real pipeline assigns content-stable ids (llm_exact_dedup
+  is the assigner in this engine) before near-dup runs, and "the
+  Jaccard of doc 7" is semantically ill-posed when two different texts
+  claim id 7. They must still run to completion on the twin.
 """
 
 from __future__ import annotations
@@ -29,7 +41,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import duck_connect, SF_DIR
+from tests.conftest import SF_DIR, assert_frames_match, duck_connect
 
 
 @pytest.fixture(scope="session")
@@ -79,7 +91,45 @@ def dup_rows_sf_dir(tmp_path_factory):
     return str(out)
 
 
+# The dedup/near-dup/decontamination evaluators: doc identity IS their
+# semantics, so duplicate doc_ids with conflicting payloads make their
+# question ill-posed (which text is "doc 7"?). Unique ids are their
+# declared input contract; everything else must stay oracle-exact.
+_DOC_IDENTITY_QIDS = {
+    "llm_decontaminate_lsh",
+    "llm_dedup_clusters",
+    "llm_dedup_recall",
+    "llm_dedup_survivors",
+    "llm_jaccard_neardup",
+    "llm_lsh_neardup",
+    "llm_ngram_lsh",
+    "llm_ngram_novelty",
+    "llm_simhash_recall",
+}
+
+
+@pytest.fixture(scope="session")
+def dup_ddb(dup_rows_sf_dir):
+    con = duck_connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dup_rows_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("qid", sorted(engine.QUERIES))
 def test_query_survives_duplicate_keys(spark, dup_rows_sf_dir, qid):
     df = engine.QUERIES[qid](spark, dup_rows_sf_dir)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize(
+    "qid", sorted(set(engine.ORACLES) - _DOC_IDENTITY_QIDS)
+)
+def test_oracle_pair_under_duplicate_keys(spark, dup_rows_sf_dir, dup_ddb, qid):
+    spark_df = engine.QUERIES[qid](spark, dup_rows_sf_dir)
+    oracle_pdf = dup_ddb.execute(engine.ORACLES[qid]).fetchdf()
+    assert_frames_match(spark_df, oracle_pdf, qid=f"{qid}[dup-twin]")

@@ -7,11 +7,19 @@ order-by-ts surface: zero inter-event gaps, zero session/streak
 durations, total order ties inside every window frame, degenerate
 OHLC/EWMA/interpolation spans, self-joining as-of keys.
 
-Only survival is asserted — with total ties, different-but-valid
-results are expected (rank over a tie is any permutation); the
-differential suite owns value correctness on the canonical fixtures,
-and the refcheck suites pin tie-break policies where the op declares
-one.
+Two assertion tiers (upgraded in r7 from survival-only):
+
+- EXACT: every oracled query in the registry must hash-match its
+  DuckDB oracle ON THE TWIN — both engines see the same tied data, so
+  a divergence means a tie-break left to partition order rather than a
+  unique sort key. This tier's first run caught four real ones (the
+  max_by(close, ts) daily close in ts_ewma_smooth /
+  ts_interpolate_linear / ts_gap_fill / win_nth_value — arbitrary
+  among tied timestamps, now a lexicographic struct max over the
+  unique (ts, event_id) prefix).
+- SURVIVAL: the temporal family additionally runs against the harsher
+  all-events-at-one-instant user shape below just to prove no abort;
+  the exact tier already owns value correctness.
 """
 
 from __future__ import annotations
@@ -23,7 +31,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import duck_connect, SF_DIR
+from tests.conftest import SF_DIR, assert_frames_match, duck_connect
 
 # The ts-ordering consumers of events: sequence analytics, time-series,
 # windows ordered by ts, streaming (event-time), temporal joins, and
@@ -121,3 +129,22 @@ def tied_ts_sf_dir(tmp_path_factory):
 def test_query_survives_tied_timestamps(spark, tied_ts_sf_dir, qid):
     df = engine.QUERIES[qid](spark, tied_ts_sf_dir)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="session")
+def tied_ddb(tied_ts_sf_dir):
+    con = duck_connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tied_ts_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("qid", sorted(engine.ORACLES))
+def test_oracle_pair_under_tied_timestamps(spark, tied_ts_sf_dir, tied_ddb, qid):
+    spark_df = engine.QUERIES[qid](spark, tied_ts_sf_dir)
+    oracle_pdf = tied_ddb.execute(engine.ORACLES[qid]).fetchdf()
+    assert_frames_match(spark_df, oracle_pdf, qid=f"{qid}[tied-twin]")
