@@ -125,7 +125,11 @@ registry.resolve_oracles()
 # the tie ambiguity; re-verified at 3 SFs + all three twins) plus the
 # four rid-re-keyed oracles (fn_explode_outer, mm_image_features,
 # mm_image_resize, mm_audio_features — oracle-side join-back fan-out
-# under duplicate ids, Spark side untouched).
+# under duplicate ids, Spark side untouched). The r7 NULL-join-key
+# policy also touched ts_interpolate_linear (covered by the quartet
+# slot) and join_asof (already listed); events_dau_wau and
+# events_new_vs_returning sit INSIDE the r7 window, so their policy
+# filters get driver rows this round.
 # NO new seed operators this round (freeze holds until the backlog is
 # zero; registry stays at 289).
 _R7_RECHECKS = [

@@ -564,7 +564,18 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
-    tagged = ev.withColumn("click_ts", F.last(click_ts, ignorenulls=True).over(w))
+    tagged = ev.withColumn(
+        "click_ts",
+        # NULL-key rows: SQL equality (the oracle's ASOF ON) never
+        # matches a NULL user, but a window partition groups all NULLs
+        # together — so an anonymous purchase must NOT see anonymous
+        # clicks; it keeps its row with a NULL match (LEFT semantics),
+        # pinned by the NULL-join-key exact sweep.
+        F.when(
+            F.col("user_id").isNotNull(),
+            F.last(click_ts, ignorenulls=True).over(w),
+        ),
+    )
     return tagged.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("purchase_id"),

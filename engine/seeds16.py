@@ -42,6 +42,7 @@ WAU_DAYS = 7
     oracle=f"""
     WITH ud AS (
       SELECT DISTINCT user_id, {_DAY_SQL} AS day FROM events
+      WHERE user_id IS NOT NULL
     ), first_seen AS (
       SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY 1
     )
@@ -65,7 +66,12 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-seen join; the window form rides the SAME user_id clustering
     the dedup already produced). Pure integer comparisons.
     """
-    e = load(spark, sf_dir, "events")
+    # Anonymous (NULL user_id) rows are unattributable to a person, so
+    # per-user analytics drop them at ingest on BOTH engines — without
+    # the filter, Spark's window/grouping treats all NULLs as ONE user
+    # while SQL equality joins match none of them (caught by the
+    # NULL-join-key exact sweep, tests/test_null_inputs.py).
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     ud = (
         e.select(
             "user_id",
@@ -93,6 +99,7 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ud AS (
       SELECT DISTINCT user_id, {_DAY_SQL} AS day FROM events
+      WHERE user_id IS NOT NULL
     ), span AS (
       SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ud
     ), wau AS (
@@ -128,7 +135,12 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine and the oracle (a dashboard wanting explicit zeros left-
     joins the calendar dim, join_calendar_dim).
     """
-    e = load(spark, sf_dir, "events")
+    # Anonymous (NULL user_id) rows are unattributable to a person, so
+    # per-user analytics drop them at ingest on BOTH engines — without
+    # the filter, Spark's window/grouping treats all NULLs as ONE user
+    # while SQL equality joins match none of them (caught by the
+    # NULL-join-key exact sweep, tests/test_null_inputs.py).
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     ud = (
         e.select(
             "user_id",

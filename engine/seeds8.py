@@ -220,7 +220,7 @@ def fn_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
              (MAX({{'ts': ts, 'id': event_id, 'c': {_CENTS_SQL}}})).c
                AS close_c
-      FROM events GROUP BY 1, 2
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
     ), span AS (
       SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY user_id
     ), spine AS (
@@ -272,7 +272,14 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps the textbook spine-join formulation, proving the
     rewrite). Gap fan-out is bounded by the calendar span per user.
     """
-    e = load(spark, sf_dir, "events").repartition("user_id")
+    # NULL-user rows dropped at ingest (unattributable; see the
+    # NULL-join-key exact sweep) — the oracle's spine join would never
+    # match them while lead() would chain through them.
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .repartition("user_id")
+    )
     d = (
         e.select(
             "user_id",

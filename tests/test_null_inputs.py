@@ -12,10 +12,19 @@ convention), the text sink serialized NULL rows as lost lines (fixed:
 text format cannot represent NULL, filter + documented), and the Arrow
 Python UDF crashed on None (fixed: NULL-safe return).
 
-Only survival is asserted, not value equality: with nulls present,
-different-but-valid results are expected (aggregates skip nulls by SQL
-semantics) — the differential suite owns value correctness on the
-canonical fixtures.
+Payload-null tiers assert survival (aggregates skip nulls by SQL
+semantics; the differential suite owns value correctness on canonical
+fixtures). The r7 NULL-JOIN-KEY tier goes further: a twin nulls ~5 %
+of o_custkey / user_id / l_suppkey — orphaned foreign keys and
+anonymous sessions, routine at 100 TB — and every oracled query must
+hash-match its oracle ON THE TWIN. Its first run caught four real
+divergences (events_dau_wau, events_new_vs_returning, join_asof,
+ts_interpolate_linear): Spark windows group all NULL keys into ONE
+partition while SQL equality joins match none of them, so anonymous
+rows were attributed engine-dependently. Fixed with the explicit
+policy: per-user analytics drop NULL-user rows at ingest on both
+sides; the as-of join keeps NULL-key rows but never matches them
+(LEFT semantics, like the oracle's ASOF ON equality).
 """
 
 from __future__ import annotations
@@ -27,7 +36,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import duck_connect, SF_DIR
+from tests.conftest import SF_DIR, assert_frames_match, duck_connect
 
 
 @pytest.fixture(scope="session")
@@ -222,3 +231,65 @@ _NEGATIVE_QIDS = [
 def test_stat_ops_survive_negative_values(spark, negative_sf_dir, qid):
     df = engine.QUERIES[qid](spark, negative_sf_dir)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="session")
+def null_keys_sf_dir(tmp_path_factory):
+    """Fixture twin with ~5 % NULL JOIN KEYS (orphaned orders/lineitems,
+    anonymous events) — keys, not payloads, unlike the tiers above."""
+    out = tmp_path_factory.mktemp("nullkeys_sf")
+    con = duck_connect()
+    src = pathlib.Path(SF_DIR)
+    for t in TABLES:
+        if t == "orders":
+            con.execute(
+                f"""COPY (SELECT * REPLACE (
+                    CASE WHEN o_orderkey % 20 = 11 THEN NULL
+                         ELSE o_custkey END AS o_custkey)
+                    FROM '{src}/orders.parquet')
+                    TO '{out}/orders.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "events":
+            con.execute(
+                f"""COPY (SELECT * REPLACE (
+                    CASE WHEN event_id % 20 = 11 THEN NULL
+                         ELSE user_id END AS user_id)
+                    FROM '{src}/events.parquet')
+                    TO '{out}/events.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "lineitem":
+            con.execute(
+                f"""COPY (SELECT * REPLACE (
+                    CASE WHEN l_orderkey % 20 = 11 THEN NULL
+                         ELSE l_suppkey END AS l_suppkey)
+                    FROM '{src}/lineitem.parquet')
+                    TO '{out}/lineitem.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(out)
+
+
+@pytest.fixture(scope="session")
+def null_keys_ddb(null_keys_sf_dir):
+    con = duck_connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{null_keys_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("qid", sorted(engine.ORACLES))
+def test_oracle_pair_under_null_join_keys(
+    spark, null_keys_sf_dir, null_keys_ddb, qid
+):
+    spark_df = engine.QUERIES[qid](spark, null_keys_sf_dir)
+    oracle_pdf = null_keys_ddb.execute(engine.ORACLES[qid]).fetchdf()
+    assert_frames_match(spark_df, oracle_pdf, qid=f"{qid}[nullkey-twin]")
