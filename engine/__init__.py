@@ -130,6 +130,22 @@ registry.resolve_oracles()
 # slot) and join_asof (already listed); events_dau_wau and
 # events_new_vs_returning sit INSIDE the r7 window, so their policy
 # filters get driver rows this round.
+#
+# r7 late-round zero/empty/onerow/nonfinite hardening (every adversarial
+# twin upgraded from survival-only to exact-oracle tiers; the r8 window
+# should re-check the CHANGED ops whose last driver row predates the
+# change): try_divide fixes — agg_stats, agg_skew_kurtosis,
+# events_ab_welch, win_pct_change, win_ratio_to_report, win_pareto_days,
+# llm_zipf_slope, q8_market_share, q14_promo_revenue,
+# events_user_overlap_jaccard, mm_embedding_centroids (try_cast
+# quantization), fn_math (oracle LN-guard); grouping-sets empty-input
+# HAVING guards — agg_cube, agg_rollup, agg_grouping_sets,
+# agg_grouping_sets_df; sink_compaction (input-aware oracle file
+# counts). The window ops touched late in r7 (agg_grouping_id_surface,
+# df_observe_metrics, ts_naive_forecast_eval, llm_survivor_policy_longest,
+# llm_length_ks_audit, sql_unpivot_surface) get fresh r7 driver rows
+# automatically. All changed pairs re-verified
+# at sf0.01 canonical + the relevant twins (BASELINE.md r7 entries).
 # NO new seed operators this round (freeze holds until the backlog is
 # zero; registry stays at 289).
 _R7_RECHECKS = [

@@ -220,8 +220,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * SUM(CASE WHEN p.p_type = 'PROMO'
                             THEN l.l_extendedprice * (1 - l.l_discount)
                             ELSE 0.0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
-             AS promo_pct,
+                 / NULLIF(SUM(l.l_extendedprice * (1 - l.l_discount)), 0),
+                 2) AS promo_pct,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
              AS total_revenue
     FROM lineitem l
@@ -251,9 +251,15 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .agg(
             pround(
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                # try_divide: an all-refunded quarter (Σrev = 0) is an
+                # undefined share, not an ANSI abort (zero-values sweep).
+                F.try_divide(
+                    F.lit(100.0)
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                    ),
+                    F.sum(rev),
+                ),
                 2,
             ).alias("promo_pct"),
             pround(F.sum(rev), 2).alias("total_revenue"),

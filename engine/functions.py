@@ -97,8 +97,10 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
            ABS(l_quantity - 25.0) AS qty_dev,
            CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
            CAST(FLOOR(l_tax * 100) AS BIGINT) AS tax_pct_floor,
-           ROUND(LN(l_extendedprice), 4) AS ln_price,
-           ROUND(LOG10(l_extendedprice), 4) AS log10_price,
+           CASE WHEN l_extendedprice > 0
+                THEN ROUND(LN(l_extendedprice), 4) END AS ln_price,
+           CASE WHEN l_extendedprice > 0
+                THEN ROUND(LOG10(l_extendedprice), 4) END AS log10_price,
            POW(l_quantity, 2) AS qty_sq,
            l_orderkey % 7 AS key_mod,
            CAST(SIGN(l_quantity - 25.0) AS INT) AS qty_sign

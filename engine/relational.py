@@ -703,6 +703,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    HAVING COUNT(*) > 0  -- Spark emits NO grouping rows over empty
+                         -- input (DuckDB emits the () row with 0);
+                         -- only that row can have count 0
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,6 +737,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_quantity), 2) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0  -- empty-input semantics, see agg_rollup
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,6 +761,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(c_acctbal), 2) AS sum_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+    HAVING COUNT(*) > 0  -- empty-input semantics, see agg_rollup
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,9 +844,19 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             pround(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
             pround(F.var_samp("l_quantity"), 4).alias("var_qty"),
-            pround(F.corr("l_quantity", "l_extendedprice"), 4).alias(
-                "corr_qty_price"
-            ),
+            # Pearson r spelled covar_pop/(σ·σ) under try_divide —
+            # algebraically identical to F.corr (1/n factors cancel;
+            # the agg_corr_matrix precedent), but a zero-variance group
+            # (the zeroed-measures twin) yields NULL instead of Corr's
+            # built-in ANSI divide-by-zero abort.
+            pround(
+                F.try_divide(
+                    F.covar_pop("l_quantity", "l_extendedprice"),
+                    F.stddev_pop("l_quantity")
+                    * F.stddev_pop("l_extendedprice"),
+                ),
+                4,
+            ).alias("corr_qty_price"),
             pround(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
                 "covar_qty_price"
             ),

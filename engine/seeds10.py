@@ -89,12 +89,25 @@ def sql_pivot_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_unpivot_surface",
     oracle=f"""
-    WITH g AS (
-      SELECT event_type, CAST(SUM({_CENTS_SQL}) AS BIGINT) AS total
-      FROM events WHERE event_type IN ('click', 'view', 'purchase')
-      GROUP BY 1
+    WITH w AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = 'click' THEN {_CENTS_SQL}
+                 ELSE 0 END) AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN {_CENTS_SQL}
+                 ELSE 0 END) AS BIGINT) AS view,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN {_CENTS_SQL}
+                 ELSE 0 END) AS BIGINT) AS purchase
+      FROM events
     )
-    SELECT 'total_cents' AS measure, event_type, total AS val FROM g
+    SELECT 'total_cents' AS measure, m.event_type,
+           CASE m.event_type WHEN 'click' THEN w.click
+                             WHEN 'view' THEN w.view
+                             ELSE w.purchase END AS val
+    FROM w CROSS JOIN (VALUES ('click'), ('view'), ('purchase'))
+                      m(event_type)
+    WHERE CASE m.event_type WHEN 'click' THEN w.click
+                            WHEN 'view' THEN w.view
+                            ELSE w.purchase END IS NOT NULL
     """,
 )
 def sql_unpivot_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,10 +117,13 @@ def sql_unpivot_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The wide side is built with conditional aggregation in the same
     query, so the operator demonstrates the full pivot→unpivot
-    round-trip in ONE plan; UNPIVOT's excludeNulls default drops
-    nothing here (the three types always exist). The oracle produces
-    the long form directly — if UNPIVOT mangled names or values the
-    hash would catch it.
+    round-trip in ONE plan. The oracle mirrors the wide-then-melt
+    shape exactly — conditional sums over the WHOLE table, melted via
+    a 3-row VALUES cross join — so a type with zero events still
+    yields its 0 row (the previous per-present-type GROUP BY silently
+    dropped absent types, caught by the one-row exact sweep), and the
+    IS NOT NULL guard reproduces UNPIVOT's excludeNulls on a fully
+    empty table (SUM over zero rows is NULL → Spark drops the row).
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("upv_events")
     return spark.sql(
@@ -421,8 +437,8 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT label,
              UNNEST(generate_series(1, LEN(embedding))) - 1 AS dim,
-             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * {EMB_QUANT})
-                  AS BIGINT) AS qx
+             TRY_CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE)
+                            * {EMB_QUANT}) AS BIGINT) AS qx
       FROM embeddings
     )
     SELECT label, dim,
@@ -454,9 +470,13 @@ def mm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         "dim",
-        F.floor(F.col("x").cast("double") * EMB_QUANT)
-        .cast("bigint")
-        .alias("qx"),
+        # try_cast: a nonfinite component (NaN/±Inf-poisoned batch)
+        # quantizes to NULL and drops out of the exact integer sum on
+        # BOTH engines, instead of an ANSI overflow abort
+        # (non-finite-embeddings sweep).
+        F.expr(
+            f"try_cast(floor(cast(x as double) * {EMB_QUANT}) as bigint)"
+        ).alias("qx"),
     )
     return q.groupBy("label", "dim").agg(
         F.count("*").cast("bigint").alias("n_vecs"),

@@ -127,11 +127,12 @@ def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'n_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS value
     FROM events
     UNION ALL
-    SELECT 'cents_total', CAST(SUM({_CENTS_SQL}) AS BIGINT) FROM events
+    SELECT 'cents_total', CAST(COALESCE(SUM({_CENTS_SQL}), 0) AS BIGINT)
+    FROM events
     UNION ALL
     SELECT 'n_purchases',
-           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM events
     """,
 )

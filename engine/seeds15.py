@@ -119,7 +119,8 @@ def ts_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MD5(text) AS h, doc_id, n_chars FROM documents
     ), g AS (
       SELECT h, CAST(COUNT(*) AS BIGINT) AS cluster_size,
-             CAST(MAX_BY(doc_id, n_chars * 100000000 - doc_id) AS BIGINT)
+             CAST(MAX_BY(doc_id, CAST(n_chars AS BIGINT) * 100000000
+                           - doc_id) AS BIGINT)
                AS survivor_longest,
              CAST(MIN(doc_id) AS BIGINT) AS survivor_minid
       FROM c GROUP BY 1
@@ -151,9 +152,13 @@ def llm_survivor_policy_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(
             F.count("*").cast("bigint").alias("cluster_size"),
+            # bigint pack explicitly: n_chars arrives as int32 from
+            # some writers, and int32 · 10⁸ overflows on BOTH engines
+            # (caught by the degenerate-text exact sweep).
             F.max_by(
                 "doc_id",
-                F.col("n_chars") * F.lit(100000000) - F.col("doc_id"),
+                F.col("n_chars").cast("bigint") * F.lit(100000000)
+                - F.col("doc_id"),
             )
             .cast("bigint")
             .alias("survivor_longest"),
@@ -187,6 +192,7 @@ def llm_survivor_policy_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM({_CENTS_SQL}) AS BIGINT) AS cents
     FROM events
     GROUP BY ROLLUP(event_type, EXTRACT(hour FROM ts))
+    HAVING COUNT(*) > 0  -- empty-input semantics, see agg_rollup
     """,
 )
 def agg_grouping_id_surface(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -297,7 +297,7 @@ def quantile_normalize_core(c: DataFrame) -> DataFrame:
            CAST(MAX(ABS(c.ca * z.nb - c.cb * z.na)) AS BIGINT)
              AS ks_scaled,
            ROUND(CAST(MAX(ABS(c.ca * z.nb - c.cb * z.na)) AS DOUBLE)
-                 / (z.na * z.nb), 6) AS ks_stat
+                 / NULLIF(z.na * z.nb, 0), 6) AS ks_stat
     FROM counts c CROSS JOIN sizes z
     GROUP BY 1, 2, 3, 4
     """,
@@ -348,8 +348,14 @@ def ks_core(ab: DataFrame) -> DataFrame:
     gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
     return j.groupBy("na", "nb").agg(
         F.max(gap).cast("bigint").alias("ks_scaled"),
+        # try_divide: if either source is absent from the corpus,
+        # na·nb = 0 — NULL statistic (no drift question to answer),
+        # not an ANSI abort (one-row exact sweep).
         pround(
-            F.max(gap).cast("double") / (F.col("na") * F.col("nb")), 6
+            F.try_divide(
+                F.max(gap).cast("double"), F.col("na") * F.col("nb")
+            ),
+            6,
         ).alias("ks_stat"),
     ).select(
         F.lit(KS_SOURCE_A).alias("source_a"),

@@ -135,10 +135,10 @@ def llm_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(yhat) AS BIGINT) AS n_forecasts,
            CAST(SUM(ABS(v - yhat)) AS BIGINT) AS abs_err_cents,
-           ROUND(CAST(SUM(ABS(v - yhat)) AS DOUBLE) / COUNT(yhat), 4)
-             AS mae_cents,
-           ROUND(CAST(SUM(ABS(v - yhat)) AS DOUBLE) / SUM(CASE
-                 WHEN yhat IS NOT NULL THEN v END), 6) AS wape
+           ROUND(CAST(SUM(ABS(v - yhat)) AS DOUBLE)
+                 / NULLIF(COUNT(yhat), 0), 4) AS mae_cents,
+           ROUND(CAST(SUM(ABS(v - yhat)) AS DOUBLE) / NULLIF(SUM(CASE
+                 WHEN yhat IS NOT NULL THEN v END), 0), 6) AS wape
     FROM l GROUP BY 1
     """,
 )
@@ -174,12 +174,17 @@ def ts_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("event_type").agg(
         F.count("yhat").cast("bigint").alias("n_forecasts"),
         F.sum(err).cast("bigint").alias("abs_err_cents"),
-        pround(F.sum(err).cast("double") / F.count("yhat"), 4).alias(
-            "mae_cents"
-        ),
+        # try_divide both scores: a type with a single observed day has
+        # no forecasts (COUNT(yhat) = 0), and an all-zero-value span has
+        # Σactual = 0 — NULL scores, not ANSI aborts (zero-values sweep).
         pround(
-            F.sum(err).cast("double")
-            / F.sum(F.when(F.col("yhat").isNotNull(), F.col("v"))),
+            F.try_divide(F.sum(err).cast("double"), F.count("yhat")), 4
+        ).alias("mae_cents"),
+        pround(
+            F.try_divide(
+                F.sum(err).cast("double"),
+                F.sum(F.when(F.col("yhat").isNotNull(), F.col("v"))),
+            ),
             6,
         ).alias("wape"),
     )

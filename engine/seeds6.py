@@ -317,7 +317,8 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, day, n_events,
            ROUND(sv, 2) AS sum_value,
-           ROUND((sv - LAG(sv) OVER w) / LAG(sv) OVER w, 4) AS pct_change
+           ROUND((sv - LAG(sv) OVER w) / NULLIF(LAG(sv) OVER w, 0), 4)
+             AS pct_change
     FROM d
     WINDOW w AS (PARTITION BY event_type ORDER BY day)
     """,
@@ -345,7 +346,10 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n_events",
         pround(F.col("sv"), 2).alias("sum_value"),
-        pround((F.col("sv") - prev) / prev, 4).alias("pct_change"),
+        # try_divide: a zero-volume previous day is an undefined pct
+        # change (NULL), not an ANSI job abort — zero-values exact
+        # sweep; oracle NULLIF mirrors it version-proof.
+        pround(F.try_divide(F.col("sv") - prev, prev), 4).alias("pct_change"),
     )
 
 
@@ -377,9 +381,10 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM f GROUP BY 1
     )
     SELECT s.lang, v.n_vocab, s.n AS n_fit,
-           ROUND((s.n * sxy - sx * sy) / (s.n * sxx - sx * sx), 4)
-             AS zipf_slope,
-           ROUND((sy - (s.n * sxy - sx * sy) / (s.n * sxx - sx * sx) * sx)
+           ROUND((s.n * sxy - sx * sy)
+                 / NULLIF(s.n * sxx - sx * sx, 0), 4) AS zipf_slope,
+           ROUND((sy - (s.n * sxy - sx * sy)
+                       / NULLIF(s.n * sxx - sx * sx, 0) * sx)
                  / s.n, 4) AS intercept
     FROM s JOIN v ON s.lang = v.lang
     """,
@@ -430,8 +435,11 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # try_divide: a single-rank fit (e.g. every doc reduced to one
+    # token) has zero x-variance — NULL slope, not an ANSI abort.
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
     )
     return s.join(F.broadcast(v), "lang").select(
         "lang",
@@ -641,7 +649,11 @@ def agg_percentile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(ex, 4).alias("exact_val"),
             pround(ap, 4).alias("approx_val"),
             pround(F.abs(ex - ap), 4).alias("abs_drift"),
-            pround(F.abs(ex - ap) / F.abs(ex), 6).alias("rel_drift"),
+            # try_divide: an exact percentile of 0 (zeroed measures)
+            # makes relative drift undefined — NULL, not an ANSI abort.
+            pround(F.try_divide(F.abs(ex - ap), F.abs(ex)), 6).alias(
+                "rel_drift"
+            ),
         )
     )
 

@@ -634,11 +634,13 @@ def llm_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(s1 / n, 4) AS mean_val,
            ROUND(s2 / n - (s1 / n) * (s1 / n), 4) AS var_pop,
            ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-                 / POW(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) AS skew,
+                 / NULLIF(POW(s2 / n - (s1 / n) * (s1 / n), 1.5), 0), 4)
+             AS skew,
            ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
                   + 6 * (s1 / n) * (s1 / n) * (s2 / n)
                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
-                 / POW(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 4) AS kurt_excess
+                 / NULLIF(POW(s2 / n - (s1 / n) * (s1 / n), 2), 0) - 3, 4)
+             AS kurt_excess
     FROM p
     """,
 )
@@ -667,10 +669,20 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
     m = s1 / n
     m2 = s2 / n - m * m
-    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / F.pow(m2, 1.5)
+    # try_divide: a zero-variance group (constant/zeroed measures) has
+    # m2 = 0 — skew/kurtosis are undefined (NULL), not an ANSI abort
+    # (zero-values exact sweep); oracle NULLIF mirrors it.
+    skew = F.try_divide(
+        s3 / n - 3 * m * (s2 / n) + 2 * m * m * m, F.pow(m2, 1.5)
+    )
     kurt = (
-        s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
-    ) / F.pow(m2, 2) - 3
+        F.try_divide(
+            s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n)
+            - 3 * m * m * m * m,
+            F.pow(m2, 2),
+        )
+        - 3
+    )
     return p.select(
         "event_type",
         "n",
@@ -758,8 +770,8 @@ def events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY r_name, n_name
     )
     SELECT r_name, n_name, revenue,
-           ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name), 6)
-             AS region_share,
+           ROUND(revenue / NULLIF(SUM(revenue) OVER (PARTITION BY r_name),
+                                  0), 6) AS region_share,
            CAST(RANK() OVER (PARTITION BY r_name
                              ORDER BY revenue DESC, n_name) AS INTEGER)
              AS region_rank
@@ -804,9 +816,11 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         "n_name",
         "revenue",
-        pround(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
-            "region_share"
-        ),
+        # try_divide: a zero-revenue region is an undefined share, not
+        # an ANSI abort (zero-values exact sweep).
+        pround(
+            F.try_divide(F.col("revenue"), F.sum("revenue").over(w)), 6
+        ).alias("region_share"),
         F.rank().over(wr).cast("int").alias("region_rank"),
     )
 
@@ -1010,7 +1024,7 @@ PARETO_NUM, PARETO_DEN = 4, 5  # threshold = 4/5 = 80 %
            CAST(MIN(CASE WHEN cum * {PARETO_DEN} >= total * {PARETO_NUM}
                          THEN rn END) AS BIGINT) AS days_to_80pct,
            ROUND(MAX(CASE WHEN rn = 1 THEN vol_cents END)
-                 * 1.0 / MAX(total), 6) AS top_day_share
+                 * 1.0 / NULLIF(MAX(total), 0), 6) AS top_day_share
     FROM r GROUP BY event_type
     """,
 )
@@ -1055,8 +1069,12 @@ def win_pareto_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("days_to_80pct"),
         pround(
-            F.max(F.when(F.col("rn") == 1, F.col("vol_cents"))) * 1.0
-            / F.max("total"),
+            # try_divide: an all-zero-volume type has total = 0 — NULL
+            # share, not an ANSI abort (zero-values exact sweep).
+            F.try_divide(
+                F.max(F.when(F.col("rn") == 1, F.col("vol_cents"))) * 1.0,
+                F.max("total"),
+            ),
             6,
         ).alias("top_day_share"),
     )

@@ -220,7 +220,11 @@ def fn_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
              (MAX({{'ts': ts, 'id': event_id, 'c': {_CENTS_SQL}}})).c
                AS close_c
-      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND ts >= TIMESTAMP '1990-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2100-01-01 00:00:00'
+      GROUP BY 1, 2
     ), span AS (
       SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY user_id
     ), spine AS (
@@ -274,10 +278,18 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # NULL-user rows dropped at ingest (unattributable; see the
     # NULL-join-key exact sweep) — the oracle's spine join would never
-    # match them while lead() would chain through them.
+    # match them while lead() would chain through them. Epoch-domain
+    # guard 1990..2100: the gap segments span [day, next_day), so one
+    # sentinel timestamp (epoch 0 / year 9999) explodes a user's
+    # segment to ~3M days — bounded under arbitrary input instead
+    # (sentinel-timestamps exact sweep; same guard as ts_gap_fill).
     e = (
         load(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
+        .filter(
+            (F.col("ts") >= F.lit("1990-01-01 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2100-01-01 00:00:00").cast("timestamp"))
+        )
         .repartition("user_id")
     )
     d = (
@@ -357,7 +369,7 @@ def interpolate_core(d: DataFrame) -> DataFrame:
     ), st AS (
       SELECT event_type, n,
              CAST(s1 AS DOUBLE) / n AS mean_c,
-             (s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS var_c
+             (s2 - CAST(s1 AS DOUBLE) * s1 / n) / NULLIF(n - 1, 0) AS var_c
       FROM s
     )
     SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -365,12 +377,13 @@ def interpolate_core(d: DataFrame) -> DataFrame:
            ROUND(a.mean_c, 4) AS mean_a,
            ROUND(b.mean_c, 4) AS mean_b,
            ROUND((a.mean_c - b.mean_c)
-                 / SQRT(a.var_c / a.n + b.var_c / b.n), 4) AS t_stat,
+                 / NULLIF(SQRT(a.var_c / a.n + b.var_c / b.n), 0), 4)
+             AS t_stat,
            ROUND((a.var_c / a.n + b.var_c / b.n)
                  * (a.var_c / a.n + b.var_c / b.n)
-                 / ((a.var_c / a.n) * (a.var_c / a.n) / (a.n - 1)
-                    + (b.var_c / b.n) * (b.var_c / b.n) / (b.n - 1)), 4)
-             AS welch_df
+                 / NULLIF((a.var_c / a.n) * (a.var_c / a.n) / (a.n - 1)
+                          + (b.var_c / b.n) * (b.var_c / b.n) / (b.n - 1),
+                          0), 4) AS welch_df
     FROM st a JOIN st b ON a.event_type < b.event_type
     """,
 )
@@ -399,12 +412,13 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         (F.col("s1").cast("double") / F.col("n")).alias("mean_c"),
-        (
-            (
-                F.col("s2")
-                - F.col("s1").cast("double") * F.col("s1") / F.col("n")
-            )
-            / (F.col("n") - 1)
+        # try_divide: a single-event type has n−1 = 0 — NULL sample
+        # variance (and NULL t/df downstream), not an ANSI abort
+        # (one-row + zero-values exact sweeps); oracle NULLIFs mirror.
+        F.try_divide(
+            F.col("s2")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n"),
+            F.col("n") - 1,
         ).alias("var_c"),
     )
     a, b = st.alias("a"), st.alias("b")
@@ -421,16 +435,17 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.col("a.mean_c"), 4).alias("mean_a"),
             pround(F.col("b.mean_c"), 4).alias("mean_b"),
             pround(
-                (F.col("a.mean_c") - F.col("b.mean_c"))
-                / F.sqrt(va_n + vb_n),
+                F.try_divide(
+                    F.col("a.mean_c") - F.col("b.mean_c"),
+                    F.sqrt(va_n + vb_n),
+                ),
                 4,
             ).alias("t_stat"),
             pround(
-                (va_n + vb_n)
-                * (va_n + vb_n)
-                / (
+                F.try_divide(
+                    (va_n + vb_n) * (va_n + vb_n),
                     va_n * va_n / (F.col("a.n") - 1)
-                    + vb_n * vb_n / (F.col("b.n") - 1)
+                    + vb_n * vb_n / (F.col("b.n") - 1),
                 ),
                 4,
             ).alias("welch_df"),
@@ -868,8 +883,10 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_compaction",
     oracle=f"""
-    SELECT CAST({COMPACT_SMALL_FILES} AS INT) AS files_before,
-           CAST({COMPACT_TARGET_FILES} AS INT) AS files_after,
+    SELECT CAST(LEAST({COMPACT_SMALL_FILES}, GREATEST(COUNT(*), 1))
+                AS INT) AS files_before,
+           CAST(LEAST({COMPACT_TARGET_FILES}, GREATEST(COUNT(*), 1))
+                AS INT) AS files_after,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(1 AS INT) AS checksum_ok
     FROM events
@@ -884,7 +901,11 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     The audit row proves the invariants a real compactor must hold:
     file count drops to target, zero rows lost, content checksum
     unchanged. File counts come from a driver-side listing of the
-    written directory (metadata, not data). At scale the pattern is
+    written directory (metadata, not data); the oracle's file counts
+    are input-aware — Spark's parquet writer emits files only for
+    non-empty partitions (min 1), so a table smaller than the file
+    count yields LEAST(files, GREATEST(rows, 1)) (pinned by the
+    empty/one-row exact sweeps). At scale the pattern is
     per-partition compaction with maxRecordsPerFile sizing each output
     near the 128 MB parquet sweet spot; the round numbers here keep the
     audit deterministic at every SF.

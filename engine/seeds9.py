@@ -608,9 +608,10 @@ def _overlap_oracle() -> str:
            ROUND(CAST(SUM(CASE WHEN (g.mask >> p.bit_a) % 2 = 1
                                 AND (g.mask >> p.bit_b) % 2 = 1
                                THEN g.n_users ELSE 0 END) AS DOUBLE)
-                 / SUM(CASE WHEN (g.mask >> p.bit_a) % 2 = 1
-                              OR (g.mask >> p.bit_b) % 2 = 1
-                            THEN g.n_users ELSE 0 END), 6) AS jaccard
+                 / NULLIF(SUM(CASE WHEN (g.mask >> p.bit_a) % 2 = 1
+                                     OR (g.mask >> p.bit_b) % 2 = 1
+                                   THEN g.n_users ELSE 0 END), 0), 6)
+             AS jaccard
     FROM pairs p CROSS JOIN g
     GROUP BY 1, 2
     """
@@ -656,8 +657,11 @@ def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             n_both.cast("bigint").alias("n_both"),
             n_either.cast("bigint").alias("n_either"),
+            # try_divide: a pair neither of whose types occurs at all
+            # (tiny/degenerate corpora) has |A∪B| = 0 — NULL Jaccard,
+            # not an ANSI abort (one-row exact sweep).
             pround(
-                n_both.cast("double") / n_either,
+                F.try_divide(n_both.cast("double"), n_either),
                 6,
             ).alias("jaccard"),
         )

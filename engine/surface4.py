@@ -98,6 +98,7 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), ())
+    HAVING COUNT(*) > 0  -- empty-input semantics, see agg_rollup
     """,
 )
 def agg_grouping_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -155,7 +155,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_year,
            ROUND(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
-                          THEN volume ELSE 0 END) / SUM(volume), 4)
+                          THEN volume ELSE 0 END) / NULLIF(SUM(volume), 0), 4)
              AS mkt_share,
            ROUND(SUM(volume), 2) AS total_volume
     FROM vol GROUP BY o_year
@@ -205,11 +205,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_year").agg(
         pround(
-            F.sum(
-                F.when(F.col("supp_nation") == Q8_NATION, F.col("volume"))
-                .otherwise(0.0)
-            )
-            / F.sum("volume"),
+            # try_divide: a zero-volume year is an undefined share, not
+            # an ANSI abort (zero-values exact sweep).
+            F.try_divide(
+                F.sum(
+                    F.when(F.col("supp_nation") == Q8_NATION, F.col("volume"))
+                    .otherwise(0.0)
+                ),
+                F.sum("volume"),
+            ),
             4,
         ).alias("mkt_share"),
         pround(F.sum("volume"), 2).alias("total_volume"),

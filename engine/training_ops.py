@@ -687,7 +687,10 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              (MAX({'ts': ts, 'id': event_id, 'v': value})).v
                AS close_value,
              COUNT(*) AS n_events
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE ts >= TIMESTAMP '1990-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2100-01-01 00:00:00'
+      GROUP BY 1, 2
     ), span AS (
       SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY user_id
     ), spine AS (
@@ -720,7 +723,16 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning serves the whole plan; the fill is
     ``last(ignorenulls)`` over a user-partitioned window.
     """
-    e = load(spark, sf_dir, "events")
+    # Epoch-domain guard: the spine spans [min(day), max(day)] per
+    # user, so ONE poisoned sentinel timestamp (epoch 0, year 9999)
+    # inflates it to ~3M days/user — a fan-out bomb at any scale. The
+    # 1990..2100 ingest window bounds the spine under arbitrary input
+    # (sentinel-timestamps exact sweep); rows outside it are clock
+    # garbage by definition, quarantined on both engines.
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("1990-01-01 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2100-01-01 00:00:00").cast("timestamp"))
+    )
     d = (
         e.groupBy(
             "user_id",

@@ -68,6 +68,7 @@ def ddb():
 def _canon_cell(v):
     """Canonicalize a value for exact cross-engine comparison."""
     import datetime
+    import decimal
 
     import numpy as np
     import pandas as pd
@@ -82,6 +83,12 @@ def _canon_cell(v):
         return v.to_pydatetime().replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        # collect-path only: DuckDB DATE vs Spark midnight TIMESTAMP
+        # (the pandas path already promotes DATE to Timestamp)
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
     if isinstance(v, float):
         # values are pre-rounded in-query; repr is canonical for equal doubles
         return repr(v)
@@ -116,3 +123,45 @@ def assert_frames_match(spark_df, oracle_pdf, qid=""):
         f"{qid}: {len(mismatches)}/{len(s_rows)} row mismatches; first 3: "
         + "; ".join(f"row{i} spark={a} oracle={b}" for i, a, b in mismatches[:3])
     )
+
+
+def assert_frames_match_collected(spark_df, duck_con, oracle_sql, qid=""):
+    """Exact compare WITHOUT the pandas hop: Spark rows via collect(),
+    oracle rows via fetchall(). Needed wherever a value exceeds
+    pandas' timestamp[ns] range (e.g. the year-9999 sentinel twin —
+    toPandas() raises on conversion even though both engines agree);
+    python datetimes carry year 9999 fine."""
+    cols = sorted(spark_df.columns)
+    s_rows = [
+        tuple(_canon_cell(r[c]) for c in cols) for r in spark_df.collect()
+    ]
+    s_rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    cur = duck_con.execute(oracle_sql)
+    desc = [d[0] for d in cur.description]
+    idx = sorted(range(len(desc)), key=lambda i: desc[i])
+    o_cols = [desc[i] for i in idx]
+    o_rows = [tuple(_canon_cell(r[i]) for i in idx) for r in cur.fetchall()]
+    o_rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    assert cols == o_cols, (
+        f"{qid}: column mismatch spark={cols} oracle={o_cols}"
+    )
+    assert len(s_rows) == len(o_rows), (
+        f"{qid}: row count mismatch spark={len(s_rows)} oracle={len(o_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{qid}: {len(mismatches)}/{len(s_rows)} row mismatches; "
+        f"first 3: "
+        + "; ".join(f"row{i} spark={a} oracle={b}" for i, a, b in mismatches[:3])
+    )
+
+
+def materialize(df) -> int:
+    """Full evaluation for survival assertions. ``df.count()`` lets
+    Catalyst PRUNE crashing expressions out of the plan entirely (the
+    zero twin's seven ANSI divide-by-zero job aborts were invisible to
+    count() and only surfaced under full materialization); collect()
+    evaluates every output column. Returns the row count."""
+    return len(df.collect())

@@ -25,7 +25,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import duck_connect, SF_DIR
+from tests.conftest import SF_DIR, assert_frames_match, duck_connect, materialize
 
 # Every query that consumes documents.text, directly or through the
 # shared token/shingle/simhash helpers.
@@ -149,4 +149,31 @@ def degenerate_text_sf_dir(tmp_path_factory):
 @pytest.mark.parametrize("qid", _TEXT_QIDS)
 def test_query_survives_degenerate_text(spark, degenerate_text_sf_dir, qid):
     df = engine.QUERIES[qid](spark, degenerate_text_sf_dir)
-    assert df.count() >= 0
+    assert materialize(df) >= 0
+
+
+# EXACT tier (r7): full-registry oracle equality on the degenerate-text
+# twin — landing it caught llm_survivor_policy_longest's INT32 overflow
+# in the n_chars·10⁸ survivor pack (now explicitly BIGINT on both
+# engines).
+
+
+@pytest.fixture(scope="session")
+def degen_ddb(degenerate_text_sf_dir):
+    con = duck_connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{degenerate_text_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("qid", sorted(engine.ORACLES))
+def test_oracle_pair_under_degenerate_text(
+    spark, degenerate_text_sf_dir, degen_ddb, qid
+):
+    spark_df = engine.QUERIES[qid](spark, degenerate_text_sf_dir)
+    oracle_pdf = degen_ddb.execute(engine.ORACLES[qid]).fetchdf()
+    assert_frames_match(spark_df, oracle_pdf, qid=f"{qid}[degen-twin]")

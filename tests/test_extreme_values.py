@@ -23,7 +23,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import duck_connect, SF_DIR
+from tests.conftest import SF_DIR, assert_frames_match, duck_connect, materialize
 
 # Every query that reads embeddings.embedding (directly or, for
 # llm_ann_recall, through its two composed searches).
@@ -86,4 +86,56 @@ def nonfinite_sf_dir(tmp_path_factory):
 @pytest.mark.parametrize("qid", _EMBEDDING_QIDS)
 def test_query_survives_nonfinite_embeddings(spark, nonfinite_sf_dir, qid):
     df = engine.QUERIES[qid](spark, nonfinite_sf_dir)
-    assert df.count() >= 0
+    assert materialize(df) >= 0
+
+
+# EXACT tier (r7) for the non-finite-embeddings twin, MINUS the
+# embedding/NaN family: Spark defines NaN = NaN as true and NaN as the
+# LARGEST double in comparisons/ordering, while DuckDB follows IEEE
+# (NaN != NaN) with its own sort rule — so any operator that compares,
+# ranks, or buckets nonfinite values is engine-defined BY DESIGN, not
+# fixable without faking one engine inside the other. Those keep the
+# survival tier; the other ~270 oracled queries (which never touch the
+# poisoned embedding column, or only pass it through arithmetic) must
+# stay exact.
+_NAN_SEMANTICS_QIDS = {
+    "fn_lambda_surface",
+    "llm_ann_ivf",
+    "llm_ann_lsh",
+    "llm_ann_range",
+    "llm_cosine_topk",
+    "llm_embedding_neardup",
+    "llm_kmeans",
+    "llm_multimodal_join",
+    "llm_semdedup",
+    "udf_cogroup_pandas",
+    # emb_quantize_audit MEASURES quantization error of the poisoned
+    # values themselves — engine-defined on nonfinite input.
+    "emb_quantize_audit",
+    # (mm_embedding_centroids left the list in r7: its quantization is
+    # now try_cast on both engines, so nonfinite components drop out of
+    # the exact integer sums identically.)
+}
+
+
+@pytest.fixture(scope="session")
+def nonfinite_ddb(nonfinite_sf_dir):
+    con = duck_connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{nonfinite_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "qid", sorted(set(engine.ORACLES) - _NAN_SEMANTICS_QIDS)
+)
+def test_oracle_pair_under_nonfinite_embeddings(
+    spark, nonfinite_sf_dir, nonfinite_ddb, qid
+):
+    spark_df = engine.QUERIES[qid](spark, nonfinite_sf_dir)
+    oracle_pdf = nonfinite_ddb.execute(engine.ORACLES[qid]).fetchdf()
+    assert_frames_match(spark_df, oracle_pdf, qid=f"{qid}[nonfinite-twin]")

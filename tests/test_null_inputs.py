@@ -36,7 +36,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import SF_DIR, assert_frames_match, duck_connect
+from tests.conftest import SF_DIR, assert_frames_match, duck_connect, materialize
 
 
 @pytest.fixture(scope="session")
@@ -77,7 +77,7 @@ def nulls_sf_dir(tmp_path_factory):
 @pytest.mark.parametrize("qid", sorted(engine.QUERIES))
 def test_query_survives_null_payloads(spark, nulls_sf_dir, qid):
     df = engine.QUERIES[qid](spark, nulls_sf_dir)
-    assert df.count() >= 0
+    assert materialize(df) >= 0
 
 
 @pytest.fixture(scope="session")
@@ -120,7 +120,7 @@ def all_nulls_sf_dir(tmp_path_factory):
 @pytest.mark.parametrize("qid", sorted(engine.QUERIES))
 def test_query_survives_all_null_payloads(spark, all_nulls_sf_dir, qid):
     df = engine.QUERIES[qid](spark, all_nulls_sf_dir)
-    assert df.count() >= 0
+    assert materialize(df) >= 0
 
 
 @pytest.fixture(scope="session")
@@ -179,7 +179,7 @@ _ADVERSARIAL_QIDS = [
 @pytest.mark.parametrize("qid", _ADVERSARIAL_QIDS)
 def test_query_survives_hostile_strings(spark, adversarial_sf_dir, qid):
     df = engine.QUERIES[qid](spark, adversarial_sf_dir)
-    assert df.count() >= 0
+    assert materialize(df) >= 0
 
 
 @pytest.fixture(scope="session")
@@ -230,7 +230,7 @@ _NEGATIVE_QIDS = [
 @pytest.mark.parametrize("qid", _NEGATIVE_QIDS)
 def test_stat_ops_survive_negative_values(spark, negative_sf_dir, qid):
     df = engine.QUERIES[qid](spark, negative_sf_dir)
-    assert df.count() >= 0
+    assert materialize(df) >= 0
 
 
 @pytest.fixture(scope="session")

@@ -9,7 +9,18 @@ round-trips — is one coercion away from an OutOfBounds abort; it also
 stresses window frames and gap math with ±8000-year spans and
 watermarks that leap past all other data.
 
-Only survival is asserted — with sentinel instants injected,
+Two tiers since r7. The EXACT tier compares every oracled query
+against its oracle ON the twin via the collect-based comparator
+(pandas timestamp[ns] cannot represent year 9999, so toPandas() — the
+standard harness hop — raises even where both engines agree; collect()
+returns python datetimes, which carry year 9999 fine). Landing the
+tier surfaced one real scale hazard: the two dense-day-spine ops
+(ts_gap_fill, ts_interpolate_linear) exploded to ~3M spine days per
+user when one sentinel landed — both now carry an explicit 1990..2100
+epoch-domain ingest guard on both engines (clock garbage is
+quarantined, the spine stays bounded under arbitrary input).
+
+The survival tier remains registry-wide — with sentinel instants injected,
 different-but-valid results are expected (the sentinel becomes the max
 everywhere, gaps become astronomical); the differential suite owns
 value correctness on the canonical fixtures.
@@ -24,7 +35,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import duck_connect, SF_DIR
+from tests.conftest import duck_connect, SF_DIR, materialize, assert_frames_match_collected
 
 
 @pytest.fixture(scope="session")
@@ -60,4 +71,28 @@ def sentinel_ts_sf_dir(tmp_path_factory):
 @pytest.mark.parametrize("qid", sorted(engine.QUERIES))
 def test_query_survives_sentinel_timestamps(spark, sentinel_ts_sf_dir, qid):
     df = engine.QUERIES[qid](spark, sentinel_ts_sf_dir)
-    assert df.count() >= 0
+    assert materialize(df) >= 0
+
+
+@pytest.fixture(scope="session")
+def sentinel_ddb(sentinel_ts_sf_dir):
+    con = duck_connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sentinel_ts_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("qid", sorted(engine.ORACLES))
+def test_oracle_pair_under_sentinel_timestamps(
+    spark, sentinel_ts_sf_dir, sentinel_ddb, qid
+):
+    assert_frames_match_collected(
+        engine.QUERIES[qid](spark, sentinel_ts_sf_dir),
+        sentinel_ddb,
+        engine.ORACLES[qid],
+        qid=f"{qid}[sentinel-twin]",
+    )

@@ -24,7 +24,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import duck_connect, SF_DIR
+from tests.conftest import duck_connect, SF_DIR, materialize, assert_frames_match
 from tests.test_degenerate_text import _TEXT_QIDS
 from tests.test_tied_timestamps import _TEMPORAL_QIDS
 
@@ -103,13 +103,13 @@ def one_lang_sf_dir(tmp_path_factory):
 @pytest.mark.parametrize("qid", _TEMPORAL_QIDS)
 def test_query_survives_one_user(spark, one_user_sf_dir, qid):
     df = engine.QUERIES[qid](spark, one_user_sf_dir)
-    assert df.count() >= 0
+    assert materialize(df) >= 0
 
 
 @pytest.mark.parametrize("qid", sorted(set(_TEXT_QIDS) | set(_LANG_EXTRA_QIDS)))
 def test_query_survives_one_lang(spark, one_lang_sf_dir, qid):
     df = engine.QUERIES[qid](spark, one_lang_sf_dir)
-    assert df.count() >= 0
+    assert materialize(df) >= 0
 
 
 def test_one_user_semantics_fully_determined(spark, one_user_sf_dir):
@@ -137,3 +137,46 @@ def test_one_user_semantics_fully_determined(spark, one_user_sf_dir):
     assert rows
     assert sum(r["n_new"] for r in rows) == 1
     assert all(r["n_new"] + r["n_returning"] == 1 for r in rows)
+
+
+# EXACT tier (r7): the one-user / one-lang limits came back clean on
+# the full-registry compare, so they are locked in — a future operator
+# whose math degenerates at a single group diverges here, not at 100 TB.
+
+
+@pytest.fixture(scope="session")
+def one_user_ddb(one_user_sf_dir):
+    con = duck_connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{one_user_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def one_lang_ddb(one_lang_sf_dir):
+    con = duck_connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{one_lang_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("qid", sorted(engine.ORACLES))
+def test_oracle_pair_under_one_user(spark, one_user_sf_dir, one_user_ddb, qid):
+    spark_df = engine.QUERIES[qid](spark, one_user_sf_dir)
+    oracle_pdf = one_user_ddb.execute(engine.ORACLES[qid]).fetchdf()
+    assert_frames_match(spark_df, oracle_pdf, qid=f"{qid}[one-user-twin]")
+
+
+@pytest.mark.parametrize("qid", sorted(engine.ORACLES))
+def test_oracle_pair_under_one_lang(spark, one_lang_sf_dir, one_lang_ddb, qid):
+    spark_df = engine.QUERIES[qid](spark, one_lang_sf_dir)
+    oracle_pdf = one_lang_ddb.execute(engine.ORACLES[qid]).fetchdf()
+    assert_frames_match(spark_df, oracle_pdf, qid=f"{qid}[one-lang-twin]")

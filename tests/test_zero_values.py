@@ -26,7 +26,7 @@ import pytest
 
 import engine
 from engine.session import TABLES
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, materialize
 
 ALL_IDS = sorted(engine.QUERIES)
 
@@ -74,5 +74,39 @@ def zero_sf_dir(tmp_path_factory):
 @pytest.mark.parametrize("qid", ALL_IDS)
 def test_query_survives_zeroed_measures(spark, zero_sf_dir, qid):
     df = engine.QUERIES[qid](spark, zero_sf_dir)
-    assert df.count() >= 0
+    assert materialize(df) >= 0
     assert len(df.schema.fields) > 0
+
+
+# ---------------------------------------------------------------------------
+# EXACT tier (r7): both engines see the same zeroed twin, so every
+# oracled query must hash-match its oracle ON the twin. First run (as
+# an ad-hoc sweep) caught 7 ANSI divide-by-zero job aborts that the
+# survival tier's count() had pruned away (win_pct_change,
+# win_ratio_to_report, win_pareto_days, llm_zipf_slope,
+# q8_market_share, q14_promo_revenue, ts_naive_forecast_eval — all now
+# try_divide with NULLIF-mirrored oracles) plus fn_math's oracle-side
+# LN(0) out-of-range (now CASE-guarded to Spark's NULL).
+# ---------------------------------------------------------------------------
+
+from engine.session import TABLES as _TABLES
+from tests.conftest import assert_frames_match, duck_connect
+
+
+@pytest.fixture(scope="session")
+def zero_ddb(zero_sf_dir):
+    con = duck_connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{zero_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("qid", sorted(engine.ORACLES))
+def test_oracle_pair_under_zeroed_measures(spark, zero_sf_dir, zero_ddb, qid):
+    spark_df = engine.QUERIES[qid](spark, zero_sf_dir)
+    oracle_pdf = zero_ddb.execute(engine.ORACLES[qid]).fetchdf()
+    assert_frames_match(spark_df, oracle_pdf, qid=f"{qid}[zero-twin]")
