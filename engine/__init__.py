@@ -17,20 +17,13 @@ from engine import registry as registry  # noqa: F401
 #
 # ORDER MATTERS for the driver's correctness sweep: it checks queries in
 # registration order and caps the per-round report at 50 rows
-# (CORRECTNESS_r01-r06 each held exactly the first 50 registrations).
-# Through round 6 the window was steered by module import order; from
-# round 7 the exact window is pinned explicitly via
-# ``registry.promote(_R7_WINDOW)`` at the bottom of this file (import
-# order alone cannot place a single re-check query from a large
-# already-green module into the window without dragging its siblings).
-#
-# Round-7 window (exactly 50, per VERDICT r6 items 1-2): the ENTIRE
-# remaining 41-op untested backlog — seeds14-27, every operator that has
-# never held a driver correctness row — plus 9 re-check slots for the
-# r6-changed code paths and one rows-only→oracle upgrade representative
-# (enumerated at _R7_RECHECKS below). This finishes the rotation begun
-# in r5: after a green r7, all 289 registered operators have a driver
-# row and the window discipline can retire to steady-state re-checks.
+# (CORRECTNESS_r01-r07 each hold exactly the first 50 registrations).
+# Through round 6 the window was steered by module import order; since
+# round 7 the exact window is pinned explicitly via ``registry.promote``
+# at the bottom of this file (import order alone cannot place a single
+# re-check query from a large already-green module into the window
+# without dragging its siblings). Import order below is the historical
+# rotation order; promote() makes it irrelevant to the driver window.
 from engine import seeds14 as seeds14  # noqa: F401
 from engine import seeds15 as seeds15  # noqa: F401
 from engine import seeds16 as seeds16  # noqa: F401
@@ -84,96 +77,134 @@ from engine import windows as windows  # noqa: F401
 # them now that every module has imported.
 registry.resolve_oracles()
 
-# Round-7 re-check slots (VERDICT r6 item 2) — exactly the 9 spare
-# window positions after the 41-op backlog. Selection, from the list
-# enumerated in r6 (each holds a green prior driver row + the
-# post-change sf0.1 differential, BASELINE.md):
-#   llm_lsh_neardup, llm_ngram_lsh    r6 materialize_tok + spread +
-#                                     chunked char_shingles rewrite
-#   llm_dedup_clusters, llm_dedup_survivors, llm_dedup_pipeline
-#                                     the full dedup-memo trio (r6
-#                                     dedup_labels memo / shared edges)
-#   llm_simhash_neardup               r6 simhash_neardup_pairs split —
-#                                     executes _simhash_df too, so it
-#                                     covers the llm_simhash change with
-#                                     one slot
-#   llm_fingerprint                   giant-doc fix representative
-#                                     (token array bound outside the
-#                                     transform lambda)
-#   udf_apply_in_pandas               sentinel-ts fix representative
-#                                     (input projected to consumed
-#                                     columns before the Python channel)
-#   source_csv_roundtrip              the rows-only→full-oracle upgrade
-#                                     representative (r6 gave it a real
-#                                     oracle; driver last saw rows-only)
-# Deferred to the ROUND-8 window (first in line once r7 is green): the
-# oracle upgrades without a driver hash row —
-# source_json_roundtrip, source_orc_roundtrip, source_text_roundtrip,
-# sink_partitioned_parquet, llm_minhash_sketch, and
-# stream_watermark_design (upgraded rows-only→full oracle in r7: the
-# single-file availableNow replay in complete mode is deterministic
-# and equals the batch 1-h × event_type aggregate) — plus
-# llm_ngram_novelty and llm_decontaminate (spread/giant-doc-touched
-# producers covered locally by the sf0.1 sweep but not yet re-checked
-# driver-side), join_asof (r7 tie-rule fix: clicks sort before
-# purchases at equal ts, found by the hot-key sweep
-# tests/test_skewed_keys.py; re-verified locally at 3 SFs + the skew
-# twin, last driver row r1), and the r7 deterministic-close quartet
-# (ts_ewma_smooth, ts_interpolate_linear, ts_gap_fill, win_nth_value —
-# max_by(close, ts) replaced by a struct max over the unique
-# (ts, event_id) prefix after the tied-timestamps exact sweep caught
-# the tie ambiguity; re-verified at 3 SFs + all three twins) plus the
-# four rid-re-keyed oracles (fn_explode_outer, mm_image_features,
-# mm_image_resize, mm_audio_features — oracle-side join-back fan-out
-# under duplicate ids, Spark side untouched). The r7 NULL-join-key
-# policy also touched ts_interpolate_linear (covered by the quartet
-# slot) and join_asof (already listed); events_dau_wau and
-# events_new_vs_returning sit INSIDE the r7 window, so their policy
-# filters get driver rows this round.
+# ---------------------------------------------------------------------------
+# STEADY-STATE CORRECTNESS-WINDOW POLICY (VERDICT r7 items 1-2 and 7)
 #
-# r7 late-round zero/empty/onerow/nonfinite hardening (every adversarial
-# twin upgraded from survival-only to exact-oracle tiers; the r8 window
-# should re-check the CHANGED ops whose last driver row predates the
-# change): try_divide fixes — agg_stats, agg_skew_kurtosis,
-# events_ab_welch, win_pct_change, win_ratio_to_report, win_pareto_days,
-# llm_zipf_slope, q8_market_share, q14_promo_revenue,
-# events_user_overlap_jaccard, mm_embedding_centroids (try_cast
-# quantization), fn_math (oracle LN-guard); grouping-sets empty-input
-# HAVING guards — agg_cube, agg_rollup, agg_grouping_sets,
-# agg_grouping_sets_df; sink_compaction (input-aware oracle file
-# counts). The window ops touched late in r7 (agg_grouping_id_surface,
-# df_observe_metrics, ts_naive_forecast_eval, llm_survivor_policy_longest,
-# llm_length_ks_audit, sql_unpivot_surface) get fresh r7 driver rows
-# automatically. All changed pairs re-verified
-# at sf0.01 canonical + the relevant twins (BASELINE.md r7 entries).
-# NO new seed operators this round (freeze holds until the backlog is
-# zero; registry stays at 289).
-_R7_RECHECKS = [
-    "llm_lsh_neardup",
-    "llm_ngram_lsh",
-    "llm_dedup_clusters",
-    "llm_dedup_survivors",
-    "llm_dedup_pipeline",
-    "llm_simhash_neardup",
-    "llm_fingerprint",
-    "udf_apply_in_pandas",
-    "source_csv_roundtrip",
+# The driver hash-checks the first 50 registered queries per round. After
+# round 7 every one of the 289 operators holds at least one driver row, so
+# from round 8 onward the window is derived MECHANICALLY each round:
+#
+#   1. CHANGED-CODE PRIORITY (hand-maintained, one list per round): every
+#      operator whose implementation or oracle changed since its latest
+#      driver row, plus any rows-only→full-oracle upgrade still awaiting
+#      its first driver hash row. These are the only rows where driver
+#      evidence can lag shipped code, so they always go first.
+#   2. OLDEST-ROW RECYCLING (computed): the remaining slots fill with the
+#      stalest ORACLED operators — sorted by (latest driver round that
+#      checked them, registration order). Rows-only operators are never
+#      recycled into fill slots: a re-check cannot upgrade them past the
+#      driver's weaker rows-only tier, so the slot is better spent
+#      refreshing a hash row. The sort reads the repo's own
+#      CORRECTNESS_r*.json files, so each green round automatically
+#      rotates the next-oldest tail into the following round's window —
+#      future rounds only maintain list (1).
+#
+# tests/test_plans.py::test_round8_correctness_window pins the resulting
+# window for this round, so any drift (a lost correctness file, a
+# registration reorder) fails at test time, not silently at driver time.
+# ---------------------------------------------------------------------------
+
+# Round-8 changed-code priority list (VERDICT r7 item 1, verbatim):
+_R8_CHANGED = [
+    # (a) rows-only→full-oracle upgrades from r6/r7 still awaiting their
+    #     first driver HASH row (driver last saw them rows-only, r1-r5):
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_text_roundtrip",
+    "sink_partitioned_parquet",
+    "llm_minhash_sketch",
+    "stream_watermark_design",
+    # (b) r7 tie-rule fix (clicks sort before purchases at equal ts,
+    #     caught by tests/test_skewed_keys.py); last driver row was r1:
+    "join_asof",
+    # (c) the r7 deterministic-close quartet (max_by(close, ts) replaced
+    #     by a struct max over the unique (ts, event_id) prefix):
+    "ts_ewma_smooth",
+    "ts_interpolate_linear",
+    "ts_gap_fill",
+    "win_nth_value",
+    # (d) rid-re-keyed multimodal oracles (oracle-side join-back fan-out
+    #     under duplicate ids; fn_explode_outer got its r7 row in-window):
+    "mm_image_features",
+    "mm_image_resize",
+    "mm_audio_features",
+    # (e) spread/giant-doc-touched shingle producers not yet re-checked
+    #     driver-side after the r6/r7 chunked-shingle rewrite:
+    "llm_ngram_novelty",
+    "llm_decontaminate",
+    # (f) the r7 try_divide/nonfinite hardening set:
+    "agg_stats",
+    "agg_skew_kurtosis",
+    "events_ab_welch",
+    "win_pct_change",
+    "win_ratio_to_report",
+    "win_pareto_days",
+    "llm_zipf_slope",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "events_user_overlap_jaccard",
+    "mm_embedding_centroids",
+    "fn_math",
+    # (g) grouping-sets empty-input HAVING guards + input-aware oracle
+    #     file counts (r7 late-round hardening):
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_grouping_sets_df",
+    "sink_compaction",
 ]
 
-_R7_BACKLOG_MODULES = {
-    f"engine.seeds{n}" for n in (14, 15, 16, 17, 18, 19, 20, 21,
-                                 23, 24, 25, 26, 27)
-}
+_WINDOW_SIZE = 50
 
-# The 41 never-driver-checked ops, in their module registration order,
-# then the 9 re-checks = the exact 50-row round-7 driver window
-# (pinned by tests/test_plans.py::test_round7_correctness_window_priority).
-_R7_WINDOW = [
-    q
-    for q in registry.QUERIES
-    if registry.QUERIES[q].__module__ in _R7_BACKLOG_MODULES
-] + _R7_RECHECKS
-registry.promote(_R7_WINDOW)
+
+def _latest_driver_rounds() -> dict[str, int]:
+    """Map qid -> latest round whose CORRECTNESS_r*.json checked it.
+
+    Reads the driver-written correctness reports at the repo root (the
+    directory above this package). Missing/corrupt files are skipped —
+    an absent history simply means every op ties at round 0 and the fill
+    degenerates to registration order, which is safe."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for qid in rows:
+            latest[qid] = max(latest.get(qid, 0), rnd)
+    return latest
+
+
+def _stale_fill(priority: list[str], n: int) -> list[str]:
+    """The n stalest ORACLED operators outside ``priority`` — policy
+    step 2 above."""
+    latest = _latest_driver_rounds()
+    taken = set(priority)
+    reg_order = {qid: i for i, qid in enumerate(registry.QUERIES)}
+    candidates = [
+        qid
+        for qid in registry.QUERIES
+        if qid not in taken and qid in registry.ORACLES
+    ]
+    candidates.sort(key=lambda qid: (latest.get(qid, 0), reg_order[qid]))
+    return candidates[:n]
+
+
+_R8_WINDOW = _R8_CHANGED + _stale_fill(
+    _R8_CHANGED, _WINDOW_SIZE - len(_R8_CHANGED)
+)
+registry.promote(_R8_WINDOW)
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

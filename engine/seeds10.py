@@ -470,12 +470,27 @@ def mm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         "dim",
-        # try_cast: a nonfinite component (NaN/±Inf-poisoned batch)
+        # Range-guarded quantization: a nonfinite or int64-overflowing
+        # component (NaN/±Inf-poisoned batch, fp blowup upstream)
         # quantizes to NULL and drops out of the exact integer sum on
         # BOTH engines, instead of an ANSI overflow abort
-        # (non-finite-embeddings sweep).
+        # (non-finite-embeddings sweep). The guard must run BEFORE
+        # floor(): Spark's floor(double) returns BIGINT and silently
+        # CLAMPS ±Inf/out-of-range to Long.MaxValue — a try_cast around
+        # it never sees the overflow, Long.MaxValue enters the group
+        # sum, and the second poisoned row in a cell aborts the job
+        # with ARITHMETIC_OVERFLOW (caught by the nonfinite sweep, r8).
+        # DuckDB's FLOOR stays DOUBLE and TRY_CAST nulls anything
+        # outside int64, so the explicit [-2^63, 2^63) window below is
+        # the exact Spark equivalent (NaN fails the between, ±Inf fail
+        # the bounds, and every in-range double floors losslessly).
         F.expr(
-            f"try_cast(floor(cast(x as double) * {EMB_QUANT}) as bigint)"
+            f"""case when cast(x as double) * {EMB_QUANT}
+                          >= -9.223372036854776e18
+                      and cast(x as double) * {EMB_QUANT}
+                          < 9.223372036854776e18
+                     then floor(cast(x as double) * {EMB_QUANT})
+                     else cast(null as bigint) end"""
         ).alias("qx"),
     )
     return q.groupBy("label", "dim").agg(

@@ -464,28 +464,35 @@ def test_exact_witness_absolute_caps_pushed(spark):
     assert "JACCARD_WITNESS_MAX_ID" in body
 
 
-def test_round7_correctness_window_priority():
-    """The driver's correctness report caps at 50 rows in registration
-    order, so the round-7 rotation (engine/__init__, via
-    registry.promote) is load-bearing: the ENTIRE remaining 41-op
-    untested backlog — seeds14-27, every operator that has never held a
-    driver correctness row — MUST occupy the first 41 slots, with the 9
-    enumerated re-checks (r6-changed code paths + the
-    rows-only→oracle-upgrade representative, VERDICT r6 item 2) at
-    positions 42-50. After a green r7 all 289 operators have a driver
-    row and this pin retires to steady-state re-check windows."""
+def test_round8_correctness_window():
+    """Round-8 window pin (steady-state policy, engine/__init__): the 33
+    changed-code rows (VERDICT r7 item 1 — the 6 rows-only→oracle
+    upgrades, join_asof, the deterministic-close quartet, the
+    rid-re-keyed multimodal oracles, the shingle producers, the
+    try_divide set, the grouping-sets guards, sink_compaction) MUST
+    occupy the first 33 slots, and the remaining 17 MUST be the stalest
+    oracled rows by (latest CORRECTNESS_r*.json round, registration
+    order). The fill is pinned literally so a lost correctness file or
+    registration reorder fails here, not silently at driver time."""
     ids = list(engine.QUERIES)
-    backlog = [
-        q for q in ids
-        if engine.QUERIES[q].__module__ in engine._R7_BACKLOG_MODULES
+    assert ids[: len(engine._R8_CHANGED)] == engine._R8_CHANGED, (
+        "a changed-code row fell out of the driver window head"
+    )
+    expected_fill = [
+        "scan_parquet", "scan_filter_pushdown", "project_compute",
+        "filter_compound", "case_when_coalesce", "join_broadcast_dims",
+        "join_sortmerge_fact", "join_left_outer", "join_full_outer",
+        "join_semi", "join_anti", "join_cross", "join_range_theta",
+        "agg_pricing_summary", "agg_global", "agg_count_distinct",
+        "agg_distinct_rows",
     ]
-    assert len(backlog) == 41
-    assert ids[:41] == backlog, (
-        "a non-backlog op promoted before the seeds14-27 backlog"
+    assert ids[len(engine._R8_CHANGED):50] == expected_fill, (
+        "oldest-row recycling fill drifted from the r1-era tail"
     )
-    assert ids[41:50] == engine._R7_RECHECKS, (
-        "a round-7 re-check slot fell out of the driver window"
-    )
+    # Policy invariant: no rows-only op wastes a fill slot (a re-check
+    # cannot upgrade it past the driver's weaker rows-only tier).
+    for qid in expected_fill:
+        assert qid in engine.ORACLES, f"{qid}: rows-only op in fill slot"
 
 
 def test_no_untested_op_registers_past_window():
