@@ -152,6 +152,14 @@ _R8_CHANGED = [
     "agg_grouping_sets",
     "agg_grouping_sets_df",
     "sink_compaction",
+    # (h) r8 all-null-payload abort fixes (element_at(vs, 0) on an
+    #     empty collect_list frame; ts_ewma_smooth's den=0 try_divide
+    #     is covered by its slot in (c)):
+    "win_rolling_median",
+    # (i) r8 row-order-invariance fix (tests/test_row_order.py): q9's
+    #     double SUM sat on a half-ulp rounding boundary and flipped
+    #     with input row order — now an exact integer-quantized sum:
+    "q9_product_profit",
 ]
 
 _WINDOW_SIZE = 50

@@ -689,8 +689,16 @@ def ewma_core(d: DataFrame) -> DataFrame:
         p = F.when(lagk.isNull(), F.lit(0.0)).otherwise(wk)
         num = t if num is None else num + t
         den = p if den is None else den + p
+    # try_divide: a row whose own close AND entire 8-day history are
+    # NULL (all-null-payload twin; a user whose tracked measure never
+    # materialized) has den = 0 — ANSI would abort the whole job on
+    # that one row; NULL is the honest EWMA of no observations, and
+    # DuckDB's divide-by-zero is NULL so the oracle already agrees.
     return d.select(
-        "user_id", "day", "close_c", pround(num / den, 4).alias("ewma_c")
+        "user_id",
+        "day",
+        "close_c",
+        pround(F.try_divide(num, den), 4).alias("ewma_c"),
     )
 
 

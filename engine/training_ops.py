@@ -488,9 +488,12 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.1 * p.p_retailprice * l.l_quantity), 2)
-             AS sum_profit
+           ROUND(CAST(SUM(
+             CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))
+             - CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)
+               * CAST(l.l_quantity AS BIGINT) * 10
+           ) AS DOUBLE) / 10000, 2) AS sum_profit
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -511,15 +514,31 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem→orders join shuffles. Year extraction is UTC on both
     engines. This is the canonical many-dim star join: at 1000
     executors, one fact shuffle, zero dim shuffles.
+
+    Determinism by QUANTIZATION: the per-row profit is computed in
+    exact integer 1e-4 units (prices/discounts are cent/percent-grain
+    in the fixtures, quantity integral) and summed as DECIMAL, so the
+    group sum is independent of addend order. A double SUM here sat on
+    a half-ulp rounding boundary — the row-order sweep caught
+    NATION_19/1999 flipping 884066.73↔.74 with input row order, the
+    flapping-result class a single-run test can never see.
     """
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+
+    def _cents100(c: str) -> F.Column:
+        return F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")
+
+    # exact 1e-4-unit integer profit; DECIMAL(38,0) sum headroom:
+    # ~1e9 units/row × 1e12 rows at 100 TB ≈ 1e21, far under 1e38
+    # (a BIGINT sum would overflow at that scale).
+    profit_e4 = (
+        _cents100("l_extendedprice") * (100 - _cents100("l_discount"))
+        - _cents100("p_retailprice") * F.col("l_quantity").cast("bigint") * 10
+    ).cast("decimal(38,0)")
     return (
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
@@ -529,7 +548,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(pround(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            pround(
+                F.sum(profit_e4).cast("double") / 10000, 2
+            ).alias("sum_profit")
+        )
     )
 
 
@@ -665,10 +688,20 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vs = F.sort_array(F.collect_list("value").over(w))
     n = F.size(vs)
-    med = (
-        F.element_at(vs, ((n + 1) / 2).cast("int"))
-        + F.element_at(vs, (n / 2).cast("int") + 1)
-    ) / 2.0
+    # n > 0 guard: collect_list DROPS NULLs, so a frame whose every
+    # value is NULL (all-null-payload twin) is EMPTY and the middle
+    # index degenerates to element_at(vs, 0) — an INVALID_INDEX_OF_ZERO
+    # job abort on one poisoned user. CASE branches evaluate lazily, so
+    # the empty frame yields a NULL median instead (DuckDB's
+    # out-of-range list index is NULL already, so the engines agree).
+    med = F.when(
+        n > 0,
+        (
+            F.element_at(vs, ((n + 1) / 2).cast("int"))
+            + F.element_at(vs, (n / 2).cast("int") + 1)
+        )
+        / 2.0,
+    )
     return e.select(
         "user_id",
         "event_id",

@@ -1,0 +1,73 @@
+"""Row-order-permutation sweep (SURVEY.md §5 adversarial-input layer):
+every deterministic query's RESULT must be invariant to the physical
+row order of its input files — on a 1000-executor cluster reading
+100 TB, file listing order, split assignment, and shuffle arrival order
+all vary run to run, so any operator whose answer depends on parquet
+row order (a first()/limit without a total sort key, an id assigned by
+physical position, a float reduction whose rounding doesn't absorb
+reassociation) produces FLAPPING results in production — the worst
+failure mode, because it passes any single-run test.
+
+Tier design (strictly stronger than the other twins' exact tier): the
+Spark side reads a row-SHUFFLED copy of every fixture table while the
+DuckDB oracle reads the CANONICAL fixtures. The two see different
+physical orders of the same multiset, so hash equality proves the
+declared semantics are a pure function of table CONTENTS. (Comparing
+both engines on the twin would be weaker: a shared file-order
+dependence would cancel out.)
+
+The survival tier runs the 6 no-oracle queries on the twin; the
+sketch-grain ones (approx_distinct / approx_quantile / hll_drift /
+percentile_drift) are order-sensitive BY DESIGN at the internal-state
+level, which is exactly why they are declared rows-only for the driver
+too.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import engine
+from engine.session import TABLES
+from tests.conftest import SF_DIR, assert_frames_match, materialize
+
+# One deterministic permutation per table (seeded per table name so the
+# twins differ table-to-table but never run-to-run).
+_SEED = 0x5208
+
+
+@pytest.fixture(scope="session")
+def shuffled_sf_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("roworder_sf")
+    for i, t in enumerate(TABLES):
+        src = pathlib.Path(SF_DIR) / f"{t}.parquet"
+        tbl = pq.read_table(src)
+        rng = np.random.RandomState(_SEED + i)
+        perm = rng.permutation(len(tbl)) if len(tbl) else []
+        pq.write_table(tbl.take(pa.array(perm, type=pa.int64())),
+                       out / f"{t}.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "qid", sorted(set(engine.QUERIES) - set(engine.ORACLES))
+)
+def test_no_oracle_query_survives_shuffled_rows(spark, shuffled_sf_dir, qid):
+    df = engine.QUERIES[qid](spark, shuffled_sf_dir)
+    assert materialize(df) >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("qid", sorted(engine.ORACLES))
+def test_result_invariant_to_row_order(spark, shuffled_sf_dir, ddb, qid):
+    """Spark on the shuffled twin vs the oracle on the CANONICAL
+    fixtures: equality means the result is a pure function of table
+    contents, independent of physical row order."""
+    spark_df = engine.QUERIES[qid](spark, shuffled_sf_dir)
+    oracle_pdf = ddb.execute(engine.ORACLES[qid]).fetchdf()
+    assert_frames_match(spark_df, oracle_pdf, qid=f"{qid}[roworder-twin]")
