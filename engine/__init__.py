@@ -156,10 +156,12 @@ _R8_CHANGED = [
     #     empty collect_list frame; ts_ewma_smooth's den=0 try_divide
     #     is covered by its slot in (c)):
     "win_rolling_median",
-    # (i) r8 row-order-invariance fix (tests/test_row_order.py): q9's
-    #     double SUM sat on a half-ulp rounding boundary and flipped
-    #     with input row order — now an exact integer-quantized sum:
+    # (i) r8 row-order-invariance fixes (tests/test_row_order.py):
+    #     double SUM/AVG sat on half-ulp rounding boundaries and
+    #     flipped with input row order — now exact integer-quantized:
     "q9_product_profit",
+    "sql_scalar_subquery",
+    "agg_unpivot",
 ]
 
 _WINDOW_SIZE = 50

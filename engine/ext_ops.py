@@ -80,14 +80,24 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(portable_round_sql(_EXISTS_SQL))
 
 
+# The correlated aggregate averages EXACT INTEGER CENTS, not doubles:
+# AVG(double) folds the group in arbitrary order and the accumulated
+# half-ulp drift flips the 2-decimal rounding with input row order
+# (caught by tests/test_row_order.py at sf0.01 — cust_avg flapped
+# 148099.75↔.76 between shuffled and canonical fixtures). AVG(bigint)
+# has an exact sum and ONE final IEEE division on both engines, so it
+# is a pure function of table contents.
 _SCALAR_SQL = """
     SELECT o.o_orderkey, o.o_custkey,
            ROUND(o.o_totalprice, 2) AS o_totalprice,
-           ROUND((SELECT AVG(o2.o_totalprice) FROM orders o2
+           ROUND((SELECT AVG(CAST(FLOOR(o2.o_totalprice * 100 + 0.5)
+                                  AS BIGINT)) / 100.0 FROM orders o2
                   WHERE o2.o_custkey = o.o_custkey), 2) AS cust_avg
     FROM orders o
-    WHERE o.o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice) FROM orders o2
-                                  WHERE o2.o_custkey = o.o_custkey)
+    WHERE o.o_totalprice >
+          1.5 * (SELECT AVG(CAST(FLOOR(o2.o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) / 100.0 FROM orders o2
+                 WHERE o2.o_custkey = o.o_custkey)
 """
 
 

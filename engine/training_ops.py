@@ -871,8 +871,10 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wide AS (
       SELECT l_returnflag,
              SUM(l_quantity) AS sum_qty,
-             SUM(l_extendedprice) AS sum_price,
-             AVG(l_discount) AS avg_disc
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100 AS sum_price,
+             CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / COUNT(l_discount) / 100 AS avg_disc
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'sum_qty' AS metric, ROUND(sum_qty, 4) AS value
@@ -894,12 +896,31 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The aggregate shuffles once on the 3-value flag key; the unpivot
     itself is map-side row expansion, 3× a 3-row frame.
+
+    Determinism by QUANTIZATION: price/discount fold as exact integer
+    cents (DECIMAL sum for 100 TB headroom), because a double SUM of
+    600k ~1e5-grade prices carries ulp drift larger than the 4-decimal
+    rounding grain — the sf0.1 row-order sweep caught sum_price
+    flipping ….9498↔.9499 with input order. Quantity is integral, so
+    its double sum is exact (< 2^53) as-is.
     """
     li = load(spark, sf_dir, "lineitem")
+    cents_p = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    cents_d = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
     wide = li.groupBy("l_returnflag").agg(
         pround(F.sum("l_quantity"), 4).alias("sum_qty"),
-        pround(F.sum("l_extendedprice"), 4).alias("sum_price"),
-        pround(F.avg("l_discount"), 4).alias("avg_disc"),
+        pround(F.sum(cents_p).cast("double") / 100, 4).alias("sum_price"),
+        pround(
+            F.try_divide(
+                F.sum(cents_d).cast("double"), F.count("l_discount")
+            )
+            / 100,
+            4,
+        ).alias("avg_disc"),
     )
     return wide.unpivot(
         ids=["l_returnflag"],

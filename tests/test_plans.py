@@ -483,7 +483,6 @@ def test_round8_correctness_window():
         "filter_compound", "case_when_coalesce", "join_broadcast_dims",
         "join_sortmerge_fact", "join_left_outer", "join_full_outer",
         "join_semi", "join_anti", "join_cross", "join_range_theta",
-        "agg_pricing_summary", "agg_global",
     ]
     assert ids[len(engine._R8_CHANGED):50] == expected_fill, (
         "oldest-row recycling fill drifted from the r1-era tail"
