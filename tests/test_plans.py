@@ -474,23 +474,40 @@ def test_round8_correctness_window():
     oracled rows by (latest CORRECTNESS_r*.json round, registration
     order). The fill is pinned literally so a lost correctness file or
     registration reorder fails here, not silently at driver time."""
+    import glob
+    import os
+
     ids = list(engine.QUERIES)
     assert ids[: len(engine._R8_CHANGED)] == engine._R8_CHANGED, (
         "a changed-code row fell out of the driver window head"
     )
-    expected_fill = [
-        "scan_parquet", "scan_filter_pushdown", "project_compute",
-        "filter_compound", "case_when_coalesce", "join_broadcast_dims",
-        "join_sortmerge_fact", "join_left_outer", "join_full_outer",
-        "join_semi", "join_anti", "join_cross", "join_range_theta",
+    fill = ids[len(engine._R8_CHANGED):50]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    post_r8 = [
+        p for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if int(p.rsplit("_r", 1)[1].split(".")[0]) >= 8
     ]
-    assert ids[len(engine._R8_CHANGED):50] == expected_fill, (
-        "oldest-row recycling fill drifted from the r1-era tail"
-    )
-    # Policy invariant: no rows-only op wastes a fill slot (a re-check
-    # cannot upgrade it past the driver's weaker rows-only tier).
-    for qid in expected_fill:
+    if not post_r8:
+        # This round's exact snapshot (history = r1-r7): the literal
+        # pin catches a lost correctness file or registration reorder.
+        assert fill == [
+            "scan_parquet", "scan_filter_pushdown", "project_compute",
+            "filter_compound", "case_when_coalesce", "join_broadcast_dims",
+            "join_sortmerge_fact", "join_left_outer", "join_full_outer",
+            "join_semi", "join_anti", "join_cross", "join_range_theta",
+        ], "oldest-row recycling fill drifted from the r1-era tail"
+    # Policy invariants hold in every round (once CORRECTNESS_r08+
+    # lands, the fill legitimately rotates to the next-oldest tail and
+    # only these properties are pinned until the next round's builder
+    # refreshes the changed list):
+    assert len(ids[:50]) == 50 and len(set(ids[:50])) == 50
+    for qid in fill:
+        # no rows-only op wastes a fill slot (a re-check cannot upgrade
+        # it past the driver's weaker rows-only tier)
         assert qid in engine.ORACLES, f"{qid}: rows-only op in fill slot"
+    assert fill == engine._stale_fill(
+        engine._R8_CHANGED, 50 - len(engine._R8_CHANGED)
+    ), "window fill does not match the declared stale-fill policy"
 
 
 def test_no_untested_op_registers_past_window():
