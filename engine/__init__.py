@@ -99,69 +99,21 @@ registry.resolve_oracles()
 #      rotates the next-oldest tail into the following round's window —
 #      future rounds only maintain list (1).
 #
-# tests/test_plans.py::test_round8_correctness_window pins the resulting
+# tests/test_plans.py::test_round9_correctness_window pins the resulting
 # window for this round, so any drift (a lost correctness file, a
 # registration reorder) fails at test time, not silently at driver time.
 # ---------------------------------------------------------------------------
 
-# Round-8 changed-code priority list (VERDICT r7 item 1, verbatim):
-_R8_CHANGED = [
-    # (a) rows-only→full-oracle upgrades from r6/r7 still awaiting their
-    #     first driver HASH row (driver last saw them rows-only, r1-r5):
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "source_text_roundtrip",
-    "sink_partitioned_parquet",
-    "llm_minhash_sketch",
-    "stream_watermark_design",
-    # (b) r7 tie-rule fix (clicks sort before purchases at equal ts,
-    #     caught by tests/test_skewed_keys.py); last driver row was r1:
-    "join_asof",
-    # (c) the r7 deterministic-close quartet (max_by(close, ts) replaced
-    #     by a struct max over the unique (ts, event_id) prefix):
-    "ts_ewma_smooth",
-    "ts_interpolate_linear",
-    "ts_gap_fill",
-    "win_nth_value",
-    # (d) rid-re-keyed multimodal oracles (oracle-side join-back fan-out
-    #     under duplicate ids; fn_explode_outer got its r7 row in-window):
-    "mm_image_features",
-    "mm_image_resize",
-    "mm_audio_features",
-    # (e) spread/giant-doc-touched shingle producers not yet re-checked
-    #     driver-side after the r6/r7 chunked-shingle rewrite:
-    "llm_ngram_novelty",
-    "llm_decontaminate",
-    # (f) the r7 try_divide/nonfinite hardening set:
-    "agg_stats",
-    "agg_skew_kurtosis",
-    "events_ab_welch",
-    "win_pct_change",
-    "win_ratio_to_report",
-    "win_pareto_days",
-    "llm_zipf_slope",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "events_user_overlap_jaccard",
-    "mm_embedding_centroids",
-    "fn_math",
-    # (g) grouping-sets empty-input HAVING guards + input-aware oracle
-    #     file counts (r7 late-round hardening):
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_grouping_sets_df",
-    "sink_compaction",
-    # (h) r8 all-null-payload abort fixes (element_at(vs, 0) on an
-    #     empty collect_list frame; ts_ewma_smooth's den=0 try_divide
-    #     is covered by its slot in (c)):
-    "win_rolling_median",
-    # (i) r8 row-order-invariance fixes (tests/test_row_order.py):
-    #     double SUM/AVG sat on half-ulp rounding boundaries and
-    #     flipped with input row order — now exact integer-quantized:
-    "q9_product_profit",
+# Round-9 changed-code priority list (VERDICT r8 items 1-2): r9 is the
+# first round where the recycler self-drives — the list holds ONLY ops
+# whose implementation or oracle actually changed in r9 (the proactive
+# deep-accumulator quantization pass; each entry cites its change), so
+# ~all 50 slots go to the stalest r1-r3 rows the verdict named.
+_R9_CHANGED = [
+    # AVG over quantized BIGINT cents still accumulates in a DOUBLE sum
+    # buffer on Spark (ADVICE r8 item 1) — replaced with an exact
+    # SUM(BIGINT)/COUNT division on both engines:
     "sql_scalar_subquery",
-    "agg_unpivot",
 ]
 
 _WINDOW_SIZE = 50
@@ -191,8 +143,14 @@ def _latest_driver_rounds() -> dict[str, int]:
                 rows = json.load(f)
         except Exception:
             continue
+        if not isinstance(rows, dict):
+            # A report that parses but isn't {qid: row} (e.g. a list)
+            # is as corrupt as unparseable JSON — skip it rather than
+            # letting a TypeError below break `import engine`.
+            continue
         for qid in rows:
-            latest[qid] = max(latest.get(qid, 0), rnd)
+            if isinstance(qid, str):
+                latest[qid] = max(latest.get(qid, 0), rnd)
     return latest
 
 
@@ -211,10 +169,10 @@ def _stale_fill(priority: list[str], n: int) -> list[str]:
     return candidates[:n]
 
 
-_R8_WINDOW = _R8_CHANGED + _stale_fill(
-    _R8_CHANGED, _WINDOW_SIZE - len(_R8_CHANGED)
+_R9_WINDOW = _R9_CHANGED + _stale_fill(
+    _R9_CHANGED, _WINDOW_SIZE - len(_R9_CHANGED)
 )
-registry.promote(_R8_WINDOW)
+registry.promote(_R9_WINDOW)
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

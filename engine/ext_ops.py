@@ -84,19 +84,27 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AVG(double) folds the group in arbitrary order and the accumulated
 # half-ulp drift flips the 2-decimal rounding with input row order
 # (caught by tests/test_row_order.py at sf0.01 — cust_avg flapped
-# 148099.75↔.76 between shuffled and canonical fixtures). AVG(bigint)
-# has an exact sum and ONE final IEEE division on both engines, so it
-# is a pure function of table contents.
+# 148099.75↔.76 between shuffled and canonical fixtures). The mean is
+# therefore SUM(BIGINT cents) / COUNT — the sum is exact on both
+# engines (Spark LONG, DuckDB HUGEINT) at ANY accumulation order, with
+# the IEEE divisions deferred to the very end. NOT AVG(BIGINT): Spark's
+# Average keeps a DOUBLE sum buffer for non-decimal inputs, so past
+# 2^53 accumulated cents (~1.8e8 orders on one hot customer at 100 TB
+# skew) the quantized AVG would go order-dependent again (ADVICE r8).
+# COUNT(o2.o_totalprice) matches AVG's NULL-skipping and is >= 1 for
+# every surviving outer row (the outer order itself is in the group).
 _SCALAR_SQL = """
     SELECT o.o_orderkey, o.o_custkey,
            ROUND(o.o_totalprice, 2) AS o_totalprice,
-           ROUND((SELECT AVG(CAST(FLOOR(o2.o_totalprice * 100 + 0.5)
-                                  AS BIGINT)) / 100.0 FROM orders o2
+           ROUND((SELECT SUM(CAST(FLOOR(o2.o_totalprice * 100 + 0.5)
+                                  AS BIGINT))
+                         / COUNT(o2.o_totalprice) / 100.0 FROM orders o2
                   WHERE o2.o_custkey = o.o_custkey), 2) AS cust_avg
     FROM orders o
     WHERE o.o_totalprice >
-          1.5 * (SELECT AVG(CAST(FLOOR(o2.o_totalprice * 100 + 0.5)
-                                 AS BIGINT)) / 100.0 FROM orders o2
+          1.5 * (SELECT SUM(CAST(FLOOR(o2.o_totalprice * 100 + 0.5)
+                                 AS BIGINT))
+                        / COUNT(o2.o_totalprice) / 100.0 FROM orders o2
                  WHERE o2.o_custkey = o.o_custkey)
 """
 
