@@ -149,8 +149,10 @@ def _latest_driver_rounds() -> dict[str, int]:
             # letting a TypeError below break `import engine`.
             continue
         for qid in rows:
-            if isinstance(qid, str):
-                latest[qid] = max(latest.get(qid, 0), rnd)
+            # json object keys are always str, so no key-type guard is
+            # needed — the isinstance(rows, dict) check above is the
+            # real hardening (ADVICE r9).
+            latest[qid] = max(latest.get(qid, 0), rnd)
     return latest
 
 

@@ -23,7 +23,18 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.det import pround
+from engine.det import (
+    cents_col,
+    cents_sql,
+    exact_avg,
+    exact_avg_sql,
+    exact_sum,
+    exact_sum_sql,
+    portable_round_sql,
+    pround,
+    revenue_e4_col,
+    revenue_e4_sql,
+)
 from engine.registry import query
 from engine.session import load
 
@@ -95,10 +106,10 @@ from engine.roundtrip import (  # noqa: E402
 
 @query(
     "source_csv_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           {exact_sum_sql(cents_sql("o_totalprice"), 100)} AS sum_price
     FROM orders GROUP BY 1
     """,
 )
@@ -121,7 +132,12 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+            # exact cents sum (r10 quantization audit): a double SUM
+            # over unbounded o_totalprice groups is order-dependent at
+            # scale — the q9 flapping class.
+            exact_sum(cents_col(F.col("o_totalprice")), 100).alias(
+                "sum_price"
+            ),
         )
     )
     try:
@@ -136,10 +152,10 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "source_json_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(AVG(c_acctbal), 2) AS avg_bal
+           {exact_avg_sql(cents_sql("c_acctbal"), 100)} AS avg_bal
     FROM customer GROUP BY 1
     """,
 )
@@ -154,7 +170,9 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            pround(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            # exact cents mean (r10 quantization audit) — SUM/COUNT,
+            # not AVG, per the sql_scalar_subquery precedent.
+            exact_avg(cents_col(F.col("c_acctbal")), 100).alias("avg_bal"),
         )
     )
     try:
@@ -169,10 +187,10 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sink_partitioned_parquet",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           {exact_sum_sql(cents_sql("o_totalprice"), 100)} AS sum_price
     FROM orders
     WHERE YEAR(o_orderdate) = 1998
     GROUP BY 1
@@ -212,7 +230,10 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n_orders"),
-                pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+                # exact cents sum (r10 quantization audit)
+                exact_sum(cents_col(F.col("o_totalprice")), 100).alias(
+                    "sum_price"
+                ),
             )
             .orderBy("o_orderstatus")
         )
@@ -287,7 +308,7 @@ def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'low' END AS band,
            COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           {exact_sum_sql(cents_sql("o_totalprice"), 100)} AS sum_price
     FROM orders
     GROUP BY 1, 2
     """,
@@ -306,7 +327,8 @@ def case_when_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("status_norm")
     return o.groupBy(band, status_norm).agg(
         F.count("*").alias("n_orders"),
-        pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        # exact cents sum (r10 quantization audit)
+        exact_sum(cents_col(F.col("o_totalprice")), 100).alias("sum_price"),
     )
 
 
@@ -317,8 +339,9 @@ def case_when_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_broadcast_dims",
-    oracle="""
-    SELECT r_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS sum_bal
+    oracle=f"""
+    SELECT r_name, COUNT(*) AS n_customers,
+           {exact_sum_sql(cents_sql("c_acctbal"), 100)} AS sum_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -341,17 +364,18 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            pround(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            # exact cents sum (r10 quantization audit)
+            exact_sum(cents_col(F.col("c_acctbal")), 100).alias("sum_bal"),
         )
     )
 
 
 @query(
     "join_sortmerge_fact",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            COUNT(*) AS n_lines,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {exact_sum_sql(revenue_e4_sql(), 10000)} AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
     """,
@@ -371,7 +395,8 @@ def join_sortmerge_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
-            pround(F.sum(_revenue()), 2).alias("revenue"),
+            # exact 1e-4-unit revenue sum (r10 quantization audit)
+            exact_sum(revenue_e4_col(), 10000).alias("revenue"),
         )
     )
 
@@ -594,12 +619,22 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           {exact_sum_sql(cents_sql("l_extendedprice"), 100)}
+             AS sum_base_price,
+           {exact_sum_sql(
+                cents_sql("l_extendedprice")
+                + " * (100 - " + cents_sql("l_discount") + ")",
+                10000,
+             )} AS sum_disc_price,
+           {exact_sum_sql(
+                cents_sql("l_extendedprice")
+                + " * (100 - " + cents_sql("l_discount") + ")"
+                + " * (100 + " + cents_sql("l_tax") + ")",
+                1000000,
+             )} AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           {exact_avg_sql(cents_sql("l_extendedprice"), 100, 4)} AS avg_price,
+           {exact_avg_sql(cents_sql("l_discount"), 100, 4)} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
@@ -615,17 +650,29 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — the shuffle moves KBs regardless of input size.
     """
     li = load(spark, sf_dir, "lineitem")
+    # Money reductions fold exact integers (r10 quantization audit):
+    # extendedprice/discount/tax are cent-grain in the fixtures, so the
+    # per-row disc price is an exact 1e-4-unit integer and the charge an
+    # exact 1e-6-unit integer — the group sums are then independent of
+    # addend order (the q9 flapping class). Quantity sums/means stay raw:
+    # l_quantity is integer-valued, and a double sum of integers is exact
+    # at ANY order until 2^53 (100 TB bound ≈ 6e11 rows × 50 ≈ 3e13).
+    ce = cents_col(F.col("l_extendedprice"))
+    cd = cents_col(F.col("l_discount"))
+    ct = cents_col(F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             pround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            pround(F.sum(_revenue()), 2).alias("sum_disc_price"),
-            pround(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            exact_sum(ce, 100).alias("sum_base_price"),
+            exact_sum(ce * (100 - cd), 10000).alias("sum_disc_price"),
+            exact_sum(ce * (100 - cd) * (100 + ct), 1000000).alias(
+                "sum_charge"
+            ),
             pround(F.avg("l_quantity"), 4).alias("avg_qty"),
-            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_avg(ce, 100, 4).alias("avg_price"),
+            exact_avg(cd, 100, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -634,9 +681,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_global",
-    oracle="""
+    oracle=f"""
     SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           {exact_sum_sql(cents_sql("l_extendedprice"), 100)} AS sum_price,
            MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
            COUNT(*) AS n_rows
     FROM lineitem
@@ -647,7 +694,10 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem").agg(
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        # exact cents sum (r10 quantization audit)
+        exact_sum(cents_col(F.col("l_extendedprice")), 100).alias(
+            "sum_price"
+        ),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
         F.count("*").alias("n_rows"),
@@ -692,12 +742,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_rollup",
-    oracle="""
+    oracle=f"""
     SELECT r_name, n_name,
            CAST(GROUPING(r_name) AS INT) AS g_region,
            CAST(GROUPING(n_name) AS INT) AS g_nation,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+           {exact_sum_sql(cents_sql("o_totalprice"), 100)} AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -723,7 +773,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("r_name").cast("int").alias("g_region"),
         F.grouping("n_name").cast("int").alias("g_nation"),
         F.count("*").alias("n_orders"),
-        pround(F.sum("o_totalprice"), 2).alias("revenue"),
+        # exact cents sum (r10 quantization audit) — the () rollup row
+        # folds EVERY order at 100 TB, the worst-case drift group.
+        exact_sum(cents_col(F.col("o_totalprice")), 100).alias("revenue"),
     )
 
 
@@ -741,7 +793,12 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over returnflag × linestatus (SURVEY.md §2.D agg_cube)."""
+    """CUBE over returnflag × linestatus (SURVEY.md §2.D agg_cube).
+
+    sum_qty stays a raw double SUM (r10 quantization audit: CLEARED) —
+    l_quantity is integer-valued, and a double sum of integers is exact
+    at any accumulation order until 2^53 (100 TB bound ≈ 3e13 « 9e15).
+    """
     return (
         load(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
@@ -756,9 +813,9 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_grouping_sets",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment, n_name, COUNT(*) AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS sum_bal
+           {exact_sum_sql(cents_sql("c_acctbal"), 100)} AS sum_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
     HAVING COUNT(*) > 0  -- empty-input semantics, see agg_rollup
@@ -769,13 +826,17 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     §3.3 — SQL and DataFrame share one logical-plan IR)."""
     load(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
     load(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    # exact cents sum (r10 quantization audit); same SQL shape on both
+    # engines, ROUND made portable on the Spark side too.
     return spark.sql(
-        """
+        portable_round_sql(
+            f"""
         SELECT c_mktsegment, n_name, COUNT(*) AS n_customers,
-               ROUND(SUM(c_acctbal), 2) AS sum_bal
+               {exact_sum_sql(cents_sql("c_acctbal"), 100)} AS sum_bal
         FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
         """
+        )
     )
 
 
@@ -796,11 +857,20 @@ def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_pivot",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
-           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
-           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
-           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+           {exact_sum_sql(
+                "CASE WHEN o_orderstatus = 'F' THEN "
+                + cents_sql("o_totalprice") + " END", 100,
+           )} AS "F",
+           {exact_sum_sql(
+                "CASE WHEN o_orderstatus = 'O' THEN "
+                + cents_sql("o_totalprice") + " END", 100,
+           )} AS "O",
+           {exact_sum_sql(
+                "CASE WHEN o_orderstatus = 'P' THEN "
+                + cents_sql("o_totalprice") + " END", 100,
+           )} AS "P"
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
     """,
@@ -817,7 +887,9 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(pround(F.sum("o_totalprice"), 2))
+        # exact cents sum (r10 quantization audit); pivot applies the
+        # per-value CASE around the quantized column.
+        .agg(exact_sum(cents_col(F.col("o_totalprice")), 100))
     )
 
 
@@ -993,10 +1065,10 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_skew_salted",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           {exact_sum_sql(cents_sql("o_totalprice"), 100)} AS sum_price
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -1042,17 +1114,21 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+            # exact cents sum (r10 quantization audit): the hot key this
+            # op exists for is exactly the group whose double sum drifts.
+            exact_sum(cents_col(F.col("o_totalprice")), 100).alias(
+                "sum_price"
+            ),
         )
     )
 
 
 @query(
     "source_orc_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT s_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-           ROUND(SUM(s_acctbal), 2) AS sum_bal
+           {exact_sum_sql(cents_sql("s_acctbal"), 100)} AS sum_bal
     FROM supplier GROUP BY 1
     """,
 )
@@ -1067,7 +1143,8 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(
             F.count("*").alias("n_suppliers"),
-            pround(F.sum("s_acctbal"), 2).alias("sum_bal"),
+            # exact cents sum (r10 quantization audit)
+            exact_sum(cents_col(F.col("s_acctbal")), 100).alias("sum_bal"),
         )
     )
     try:
@@ -1099,7 +1176,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus, updated,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           {exact_sum_sql(cents_sql("o_totalprice", 3), 1000)} AS sum_price
     FROM merged GROUP BY 1, 2
     """,
 )
@@ -1130,5 +1207,10 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("o_orderstatus", "updated").agg(
         F.count("*").alias("n_orders"),
-        pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        # exact sum (r10 quantization audit) at 1e-3 grain: the repriced
+        # rows are 2-dp × 1.1 = exact 3-dp values, so millicents is the
+        # coarsest lossless quantization for the merged column.
+        exact_sum(cents_col(F.col("o_totalprice"), 3), 1000).alias(
+            "sum_price"
+        ),
     )

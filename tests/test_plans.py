@@ -464,9 +464,9 @@ def test_exact_witness_absolute_caps_pushed(spark):
     assert "JACCARD_WITNESS_MAX_ID" in body
 
 
-# The stale-order literal for the round-9 pin: the ~80 stalest oracled
+# The stale-order literal for the round-9 pin: the 60 stalest oracled
 # rows under the r1-r8 history, ordered by (latest driver round,
-# registration order) — 25 r1 rows, 17 r2, then the r3 tail. Pinned
+# registration order) — 25 r1 rows, 17 r2, 18 r3. Pinned
 # literally (not recomputed via _stale_fill) so a damaged/lost
 # correctness file or a registration reorder CHANGES the computed fill
 # and fails against this list, instead of the test silently agreeing
@@ -528,7 +528,8 @@ def test_round9_correctness_window():
         if not m:
             continue
         rounds_seen.append(int(m.group(1)))
-        rows = json.load(open(p))
+        with open(p) as f:
+            rows = json.load(f)
         assert isinstance(rows, dict) and len(rows) == 50, (
             f"{p}: driver report is not a 50-row dict"
         )
