@@ -20,7 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.det import pround
+from engine.det import (
+    cents_col,
+    cents_sql,
+    exact_sum,
+    exact_sum_sql,
+    pround,
+    revenue_e4_col,
+    revenue_e4_sql,
+)
 from engine.registry import query
 from engine.session import load
 
@@ -32,7 +40,7 @@ Q5_YEAR = 1998
     "q3_shipping_priority",
     oracle=f"""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {exact_sum_sql(revenue_e4_sql("l."), 10000)} AS revenue,
            o.o_orderdate,
            o.o_orderpriority
     FROM customer c
@@ -70,11 +78,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        # exact 1e-4-unit revenue sum (r10 quantization audit) — also
+        # makes the top-10 membership itself order-stable.
+        .agg(exact_sum(revenue_e4_col(), 10000).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -85,7 +91,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle=f"""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {exact_sum_sql(revenue_e4_sql("l."), 10000)} AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -131,11 +137,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
-        .agg(
-            pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        # exact 1e-4-unit revenue sum (r10 quantization audit)
+        .agg(exact_sum(revenue_e4_col(), 10000).alias("revenue"))
     )
 
 
@@ -148,12 +151,12 @@ Q22_CUTOFF = "2000-01-01"
     "q7_nation_volume",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           ROUND(SUM(volume), 2) AS revenue
+           {exact_sum_sql("volume", 10000)} AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation,
              n2.n_name AS cust_nation,
              CAST(YEAR(l.l_shipdate) AS INTEGER) AS l_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
+             {revenue_e4_sql("l.")} AS volume
       FROM supplier s
       JOIN lineitem l ON s.s_suppkey = l.l_suppkey
       JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -204,12 +207,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("supp_nation"),
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "volume"
-            ),
+            # exact 1e-4-unit revenue (r10 quantization audit)
+            revenue_e4_col().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(pround(F.sum("volume"), 2).alias("revenue"))
+        .agg(exact_sum(F.col("volume"), 10000).alias("revenue"))
     )
 
 
@@ -217,12 +219,12 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     oracle=f"""
     SELECT ROUND(CAST(100 AS DOUBLE)
-                 * SUM(CASE WHEN p.p_type = 'PROMO'
-                            THEN l.l_extendedprice * (1 - l.l_discount)
-                            ELSE 0.0 END)
-                 / NULLIF(SUM(l.l_extendedprice * (1 - l.l_discount)), 0),
+                 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                            THEN {revenue_e4_sql("l.")}
+                            ELSE 0 END) AS DOUBLE)
+                 / NULLIF(CAST(SUM({revenue_e4_sql("l.")}) AS DOUBLE), 0),
                  2) AS promo_pct,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+           {exact_sum_sql(revenue_e4_sql("l."), 10000)}
              AS total_revenue
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -246,7 +248,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit(f"{Q14_START} 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(f"{Q14_END} 00:00:00").cast("timestamp"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact 1e-4-unit revenue (r10 quantization audit); the 1e4 scale
+    # cancels in the promo ratio, so both terms stay exact integers and
+    # the single IEEE division at the end is order-independent.
+    rev_e4 = revenue_e4_col()
+    promo_e4 = F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(
+        F.lit(0).cast("bigint")
+    )
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .agg(
@@ -255,22 +263,20 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # undefined share, not an ANSI abort (zero-values sweep).
                 F.try_divide(
                     F.lit(100.0)
-                    * F.sum(
-                        F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
-                    ),
-                    F.sum(rev),
+                    * F.sum(promo_e4.cast("decimal(38,0)")).cast("double"),
+                    F.sum(rev_e4.cast("decimal(38,0)")).cast("double"),
                 ),
                 2,
             ).alias("promo_pct"),
-            pround(F.sum(rev), 2).alias("total_revenue"),
+            exact_sum(rev_e4, 10000).alias("total_revenue"),
         )
     )
 
 
 @query(
     "q19_disjunctive_pred",
-    oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+    oracle=f"""
+    SELECT {exact_sum_sql(revenue_e4_sql("l."), 10000)}
              AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
@@ -307,9 +313,8 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .filter(cond)
         .agg(
-            pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            # exact 1e-4-unit revenue sum (r10 quantization audit)
+            exact_sum(revenue_e4_col(), 10000).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -319,7 +324,13 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_dormant_customers",
     oracle=f"""
     WITH avg_bal AS (
-      SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+      -- exact cents mean, unrounded (it is a THRESHOLD, not an output):
+      -- SUM(BIGINT)/COUNT/100.0 is the same IEEE division chain the
+      -- Spark side computes, so the filter membership cannot flip with
+      -- accumulation order (r10 quantization audit).
+      SELECT CAST(SUM({cents_sql("c_acctbal")}) AS DOUBLE)
+             / COUNT(c_acctbal) / 100.0 AS avg_bal
+      FROM customer WHERE c_acctbal > 0
     ),
     recent AS (
       SELECT DISTINCT o_custkey FROM orders
@@ -327,7 +338,7 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_mktsegment,
            COUNT(*) AS n_custs,
-           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+           {exact_sum_sql(cents_sql("c.c_acctbal"), 100)} AS total_bal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.avg_bal
       AND NOT EXISTS (SELECT 1 FROM recent r
@@ -350,7 +361,17 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("avg_bal"))
+        # exact cents mean, unrounded — same division chain as the
+        # oracle CTE, so the threshold is order-independent.
+        .agg(
+            (
+                F.sum(
+                    cents_col(F.col("c_acctbal")).cast("decimal(38,0)")
+                ).cast("double")
+                / F.count("c_acctbal")
+                / 100.0
+            ).alias("avg_bal")
+        )
     )
     recent = (
         load(spark, sf_dir, "orders")
@@ -367,6 +388,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_custs"),
-            pround(F.sum("c_acctbal"), 2).alias("total_bal"),
+            # exact cents sum (r10 quantization audit)
+            exact_sum(cents_col(F.col("c_acctbal")), 100).alias("total_bal"),
         )
     )
