@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from engine.det import pround
+from engine.det import (
+    exact_sum,
+    exact_sum_sql,
+    pround,
+    revenue_e4_col,
+    revenue_e4_sql,
+)
 from engine.registry import query
 from engine.session import load
 
@@ -141,7 +147,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH vol AS (
       SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             {revenue_e4_sql("l.")} AS volume,
              n2.n_name AS supp_nation
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -154,10 +160,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r.r_name = '{Q8_REGION}' AND p.p_type = '{Q8_TYPE}'
     )
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
-                          THEN volume ELSE 0 END) / NULLIF(SUM(volume), 0), 4)
+           ROUND(CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                          THEN volume ELSE 0 END) AS DOUBLE)
+                 / NULLIF(CAST(SUM(volume) AS DOUBLE), 0), 4)
              AS mkt_share,
-           ROUND(SUM(volume), 2) AS total_volume
+           {exact_sum_sql("volume", 10000)} AS total_volume
     FROM vol GROUP BY o_year
     """,
 )
@@ -191,7 +198,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = s.join(
         F.broadcast(n2), s["s_nationkey"] == F.col("n2_key")
     ).select("s_suppkey", "supp_nation")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact 1e-4-unit revenue (r10 quantization audit); the scale
+    # cancels in the share ratio, total divides once at the end.
+    vol = revenue_e4_col()
     joined = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(cust_region), o["o_custkey"] == F.col("c_custkey"))
@@ -210,13 +219,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(
                 F.sum(
                     F.when(F.col("supp_nation") == Q8_NATION, F.col("volume"))
-                    .otherwise(0.0)
-                ),
-                F.sum("volume"),
+                    .otherwise(F.lit(0).cast("bigint"))
+                    .cast("decimal(38,0)")
+                ).cast("double"),
+                F.sum(F.col("volume").cast("decimal(38,0)")).cast("double"),
             ),
             4,
         ).alias("mkt_share"),
-        pround(F.sum("volume"), 2).alias("total_volume"),
+        exact_sum(F.col("volume"), 10000).alias("total_volume"),
     )
 
 

@@ -20,7 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.det import pround
+from engine.det import (
+    cents_col,
+    cents_sql,
+    exact_sum,
+    exact_sum_sql,
+    pround,
+    revenue_e4_col,
+    revenue_e4_sql,
+)
 from engine.registry import query
 from engine.session import load
 
@@ -99,7 +107,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle=f"""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT {exact_sum_sql(
+                cents_sql("l_extendedprice")
+                + " * " + cents_sql("l_discount"),
+                10000,
+           )} AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01 00:00:00'
@@ -127,9 +139,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < Q6_QTY_MAX)
     )
     return f.agg(
-        pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        # exact 1e-4-unit sum (r10 quantization audit): cents(price) ×
+        # cents(discount) = price·discount in exact 1e-4 units.
+        exact_sum(
+            cents_col(F.col("l_extendedprice"))
+            * cents_col(F.col("l_discount")),
+            10000,
+        ).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
 
@@ -139,7 +155,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH rev AS (
       SELECT l_suppkey,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+             {exact_sum_sql(revenue_e4_sql(), 10000)} AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '{Q15_Q_START} 00:00:00'
         AND l_shipdate < TIMESTAMP '{Q15_Q_END} 00:00:00'
@@ -165,8 +181,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit(Q15_Q_END).cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-        .alias("total_rev")
+        # exact 1e-4-unit revenue sum (r10 quantization audit) — the
+        # top-1 ranking key must not drift with accumulation order.
+        exact_sum(revenue_e4_col(), 10000).alias("total_rev")
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -184,7 +201,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, AVG(l_quantity) AS avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT ROUND(CAST(SUM({cents_sql("l.l_extendedprice")}) AS DOUBLE)
+                 / 700.0, 2) AS avg_yearly,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN pa ON l.l_partkey = pa.l_partkey
@@ -209,7 +227,15 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity") < Q17_FRACTION * F.col("avg_qty")
     )
     return j.agg(
-        pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        # exact cents sum (r10 quantization audit); /700 folds the cents
+        # scale and the 7-year window into one IEEE division.
+        pround(
+            F.sum(
+                cents_col(F.col("l_extendedprice")).cast("decimal(38,0)")
+            ).cast("double")
+            / 700.0,
+            2,
+        ).alias("avg_yearly"),
         F.count("*").alias("n_lines"),
     )
 
