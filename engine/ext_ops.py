@@ -34,7 +34,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from engine.det import portable_round_sql, pround
+from engine.det import (
+    cents_col,
+    cents_sql,
+    exact_avg,
+    exact_avg_sql,
+    exact_sum,
+    exact_sum_sql,
+    portable_round_sql,
+    pround,
+    revenue_e4_col,
+    revenue_e4_sql,
+)
 from engine.splits import SPLIT_CASE_SQL, split_col
 from engine.registry import query
 from engine.session import load
@@ -49,10 +60,14 @@ QUALITY_MIN_TOKENS = 20
 # SQL-surface entry point: identical SQL text on both engines.
 # ---------------------------------------------------------------------------
 
+# The mean folds exact integer cents (r10 quantization audit):
+# SUM(BIGINT)/COUNT, not AVG — same rationale as _SCALAR_SQL below.
+# BIGINT headroom: ≤1e6 cents × ~1.5e9 customers ≈ 1.5e15 « 2^63.
 _EXISTS_SQL = """
     SELECT c.c_mktsegment,
            COUNT(*) AS n_customers,
-           ROUND(AVG(c.c_acctbal), 2) AS avg_acctbal
+           ROUND(SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT))
+                 / COUNT(c.c_acctbal) / 100.0, 2) AS avg_acctbal
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
@@ -278,7 +293,7 @@ N_HIST_BINS = 10
            COUNT(*) AS n_orders,
            ROUND(MIN(o_totalprice), 2) AS min_price,
            ROUND(MAX(o_totalprice), 2) AS max_price,
-           ROUND(AVG(o_totalprice), 2) AS avg_price
+           {exact_avg_sql(cents_sql("o_totalprice"), 100)} AS avg_price
     FROM orders, r
     GROUP BY 1
     """,
@@ -322,7 +337,11 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             pround(F.min("o_totalprice"), 2).alias("min_price"),
             pround(F.max("o_totalprice"), 2).alias("max_price"),
-            pround(F.avg("o_totalprice"), 2).alias("avg_price"),
+            # exact cents mean (r10 quantization audit); min/max are
+            # order-independent selections and stay raw.
+            exact_avg(cents_col(F.col("o_totalprice")), 100).alias(
+                "avg_price"
+            ),
         )
     )
 
@@ -531,17 +550,20 @@ def bloom_prefilter_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            pround(F.sum("l_extendedprice"), 2).alias("revenue"),
+            # exact cents sum (r10 quantization audit)
+            exact_sum(cents_col(F.col("l_extendedprice")), 100).alias(
+                "revenue"
+            ),
         )
     )
 
 
 @query(
     "join_bloom_prefilter",
-    oracle="""
+    oracle=f"""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+           {exact_sum_sql(cents_sql("l.l_extendedprice"), 100)} AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
     GROUP BY o.o_orderpriority
@@ -699,7 +721,7 @@ Q10_TO = "1999-07-01"
     "q10_returned_items",
     oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {exact_sum_sql(revenue_e4_sql("l."), 10000)} AS revenue,
            ROUND(c.c_acctbal, 2) AS c_acctbal
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -736,11 +758,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(
-            pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        # exact 1e-4-unit revenue sum (r10 quantization audit) — also
+        # stabilizes the top-20 membership.
+        .agg(exact_sum(revenue_e4_col(), 10000).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
