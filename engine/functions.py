@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.det import pround
+from engine.det import cents_col, cents_sql, exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, pround
 from engine.registry import query
 from engine.session import load
 
@@ -177,11 +177,11 @@ def fn_array_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_json",
-    oracle="""
+    oracle=f"""
     SELECT CAST(FLOOR(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) / 10.0) AS INT)
              AS k_bucket,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           {exact_sum_sql(cents_sql("value"), 100)} AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -194,7 +194,8 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.floor(k / 10.0).cast("int").alias("k_bucket")
     return ev.groupBy(bucket).agg(
         F.count("*").alias("n_events"),
-        pround(F.sum("value"), 2).alias("sum_value"),
+        # exact cents sum (r10 quantization audit)
+        exact_sum(cents_col(F.col("value")), 100).alias("sum_value"),
     )
 
 

@@ -13,16 +13,16 @@ without it, 100 TB of late-arriving events would pin unbounded state.
 
 from __future__ import annotations
 
-import math
 import shutil
 import uuid
 
+import numpy as np
 import pandas as pd
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from engine.det import pround
+from engine.det import cents_col, cents_sql, exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, pround
 from engine.registry import query
 from engine.session import load
 # Re-exported for compatibility: the stream source lives in the leaf
@@ -38,7 +38,8 @@ def tumbling_agg(ev: DataFrame) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            pround(F.sum("value"), 2).alias("sum_value"),
+            # exact cents sum (r10 quantization audit)
+            exact_sum(cents_col(F.col("value")), 100).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -52,7 +53,7 @@ def tumbling_agg(ev: DataFrame) -> DataFrame:
 @query(
     "stream_sliding",
     oracle="""
-    SELECT ws AS window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    SELECT ws AS window_start, COUNT(*) AS n_events, ROUND(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
     FROM (
       SELECT TIME_BUCKET(INTERVAL 30 MINUTE, ts) AS ws, value FROM events
       UNION ALL
@@ -73,7 +74,8 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            pround(F.sum("value"), 2).alias("sum_value"),
+            # exact cents sum (r10 quantization audit)
+            exact_sum(cents_col(F.col("value")), 100).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
@@ -85,7 +87,8 @@ def session_agg(ev: DataFrame) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            pround(F.sum("value"), 2).alias("sum_value"),
+            # exact cents sum (r10 quantization audit)
+            exact_sum(cents_col(F.col("value")), 100).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -114,7 +117,7 @@ def session_agg(ev: DataFrame) -> DataFrame:
       FROM flagged
     )
     SELECT user_id, MIN(ts) AS session_start,
-           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+           COUNT(*) AS n_events, ROUND(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
     FROM numbered
     GROUP BY user_id, sess_id
     """,
@@ -135,7 +138,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_watermark_design",
     oracle="""
     SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS window_start, event_type,
-           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+           COUNT(*) AS n_events, ROUND(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -166,7 +169,8 @@ def stream_watermark_design(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            pround(F.sum("value"), 2).alias("sum_value"),
+            # exact cents sum (r10 quantization audit)
+            exact_sum(cents_col(F.col("value")), 100).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -201,7 +205,8 @@ def user_state_agg(ev: DataFrame) -> DataFrame:
     :func:`user_state_stream`."""
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        pround(F.sum("value"), 2).alias("sum_value"),
+        # exact cents sum (r10 quantization audit)
+            exact_sum(cents_col(F.col("value")), 100).alias("sum_value"),
         F.max("ts").alias("last_ts"),
     )
 
@@ -209,7 +214,7 @@ def user_state_agg(ev: DataFrame) -> DataFrame:
 @query(
     "stream_user_state",
     oracle="""
-    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
+    SELECT user_id, COUNT(*) AS n_events, ROUND(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value,
            MAX(ts) AS last_ts
     FROM events GROUP BY 1
     """,
@@ -247,7 +252,11 @@ def user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             n, s, mx_us = 0, 0.0, None
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            # exact integer-cents accumulation (r10 quantization audit):
+            # the state `s` holds whole cents in a double (exact until
+            # 2^53), so the lifetime sum is independent of micro-batch
+            # arrival order — matching the batch form's quantized sum.
+            s += float(np.floor(pdf["value"] * 100 + 0.5).sum())
             batch_mx = pdf["ts"].max()
             mx_ns = batch_mx.value
             mx_us = mx_ns // 1000 if mx_us is None else max(mx_us, mx_ns // 1000)
@@ -256,9 +265,7 @@ def user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": pd.Series([key[0]], dtype="int64"),
                 "n_events": pd.Series([n], dtype="int64"),
-                "sum_value": pd.Series(
-                    [math.floor(s * 100 + 0.5) / 100], dtype="float64"
-                ),
+                "sum_value": pd.Series([s / 100], dtype="float64"),
                 "last_ts": pd.Series([pd.Timestamp(mx_us * 1000)]),
             }
         )
@@ -410,7 +417,7 @@ def stream_stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           ROUND(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,

@@ -15,7 +15,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.det import pround
+from engine.det import cents_col, cents_sql, exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, pround
 from engine.registry import query
 from engine.roundtrip import SCRATCH
 from engine.session import load
@@ -33,7 +33,7 @@ FB_BUCKETS = 16  # hash buckets of the (window, event_type) merge key
              AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           {exact_sum_sql(cents_sql("value"), 100)} AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -114,7 +114,10 @@ def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", f"{FB_WINDOW_SECS} seconds"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # exact cents sum (r10 quantization audit): update mode
+            # re-emits the window's full re-aggregate each micro-batch,
+            # so the merged store always holds the exact final value.
+            exact_sum(cents_col(F.col("value")), 100).alias("sum_value"),
         )
     )
     q = (

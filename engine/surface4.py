@@ -12,7 +12,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.det import pround
+from engine.det import cents_col, cents_sql, exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, pround
 from engine.registry import query
 from engine.roundtrip import SCRATCH, roundtrip_verified
 from engine.session import load
@@ -91,10 +91,10 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_grouping_sets_df",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority, o_orderstatus,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           {exact_sum_sql(cents_sql("o_totalprice"), 100)} AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), ())
@@ -122,7 +122,10 @@ def agg_grouping_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+            # exact cents sum (r10 quantization audit)
+            exact_sum(cents_col(F.col("o_totalprice")), 100).alias(
+                "sum_price"
+            ),
         )
     )
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf, udtf
 
-from engine.det import pround
+from engine.det import cents_col, cents_sql, exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, pround
 from engine.registry import query
 from engine.session import load
 
@@ -88,18 +88,28 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_pandas_grouped_agg",
     oracle="""
     SELECT c_mktsegment,
-           ROUND(MAX(c_acctbal) - AVG(c_acctbal), 4) AS demeaned_max
+           ROUND(MAX(c_acctbal)
+                 - SUM(FLOOR(c_acctbal * 100 + 0.5))
+                   / COUNT(c_acctbal) / 100.0, 4) AS demeaned_max
     FROM customer
     GROUP BY c_mktsegment
     """,
 )
 def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas UDAF (Series → scalar) in groupBy().agg()
-    (SURVEY.md §2.K udf_pandas_grouped_agg): per-segment demeaned max."""
+    (SURVEY.md §2.K udf_pandas_grouped_agg): per-segment demeaned max.
+
+    The mean folds exact integer cents (r10 quantization audit): the
+    pandas group arrives in shuffle order, so a raw double .mean() is
+    order-dependent at scale; integer-valued float additions are exact
+    at any order until 2^53, and both engines run the same SUM/COUNT
+    division chain. MAX is an order-independent selection.
+    """
 
     @pandas_udf("double")
     def demeaned_max(bal: pd.Series) -> float:
-        return float(bal.max() - bal.mean())
+        cents = np.floor(bal * 100 + 0.5)
+        return float(bal.max() - cents.sum() / bal.count() / 100.0)
 
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
@@ -124,6 +134,14 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-formula as engine.det (numpy doubles are IEEE, so both sides
     round identically); single-event users yield NULL (stddev_samp of a
     1-row group is NULL in SQL, NaN→None here).
+
+    r10 quantization audit: CLEARED, not converted — the z-score's
+    σ is a sqrt of a second moment that has no lossless integer form
+    (and z is scale-invariant, so quantizing the input cannot remove
+    the moment's own double fold). Drift bound: per-user groups are
+    activity-bounded, giving n·eps·|Σ| many orders below the 1e-4
+    output grain; the multi-seed row-order soak (BASELINE.md r10)
+    backs this empirically.
 
     The input is PROJECTED to the three consumed columns before the
     groupBy: Spark cannot prune columns through applyInPandas (the

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from engine.det import pround
+from engine.det import cents_col, cents_sql, exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, pround
 from engine.registry import query
 from engine.session import load
 
@@ -74,45 +74,64 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "win_running_sum",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           ROUND(CAST(SUM({cents_sql("o_totalprice")}) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100, 2) AS running_rev
     FROM orders
     """,
 )
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative revenue per customer (SURVEY.md §2.E win_running_sum).
 
-    Rounded: running-sum implementations (sequential vs segment-tree)
-    group additions differently across engines.
+    The prefix folds exact integer cents (r10 quantization audit):
+    running-sum implementations (sequential vs segment-tree) group
+    additions differently across engines, and a double prefix sum over
+    an unbounded frame accumulates drift with partition length — exact
+    integers make every association identical. DECIMAL(38,0) for the
+    same 100 TB hot-customer headroom as the grouped sums.
     """
     w = (
         W.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    running = (
+        F.sum(cents_col(F.col("o_totalprice")).cast("decimal(38,0)"))
+        .over(w)
+        .cast("double")
+    )
     return load(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        pround(F.sum("o_totalprice").over(w), 2).alias("running_rev"),
+        pround(running / 100, 2).alias("running_rev"),
     )
 
 
 @query(
     "win_moving_avg",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
-           ROUND(AVG(value) OVER (
+           ROUND(AVG({cents_sql("value")}) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0, 4) AS mov_avg
     FROM events
     """,
 )
 def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-row moving average of event value per user
-    (SURVEY.md §2.E win_moving_avg)."""
+    (SURVEY.md §2.E win_moving_avg).
+
+    Averages exact integer cents (r10 quantization audit): the frame is
+    bounded (≤3 rows, so even a double fold could not drift with data
+    volume), but a 2-dp mean lands exactly on a rounding boundary for
+    boundary rationals (e.g. mean(.01,.02) = .015) where sequential vs
+    segment-tree association could disagree — integer cents make every
+    association identical; AVG of ≤3 BIGINTs is exact in both engines'
+    double sum buffers.
+    """
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -121,7 +140,9 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        pround(F.avg("value").over(w), 4).alias("mov_avg"),
+        pround(F.avg(cents_col(F.col("value"))).over(w) / 100.0, 4).alias(
+            "mov_avg"
+        ),
     )
 
 

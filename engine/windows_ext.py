@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from engine.det import pround
+from engine.det import cents_col, cents_sql, exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, pround
 from engine.registry import query
 from engine.session import load
 
@@ -23,7 +23,8 @@ RANGE_SECS = 3600  # trailing 1-hour value window
     SELECT user_id, event_id,
            CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_hour,
-           ROUND(SUM(value) OVER w, 2) AS sum_trailing_hour
+           ROUND(CAST(SUM({cents_sql("value")}) OVER w AS DOUBLE) / 100, 2)
+             AS sum_trailing_hour
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN {RANGE_SECS} PRECEDING AND CURRENT ROW)
@@ -54,7 +55,16 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts_sec",
         F.count("*").over(w).cast("bigint").alias("n_trailing_hour"),
-        pround(F.sum("value").over(w), 2).alias("sum_trailing_hour"),
+        # exact cents sum (r10 quantization audit): a RANGE frame's row
+        # count is data-dependent (a hot timestamp span at 100 TB is an
+        # unbounded fold), so the frame sums exact integers.
+        pround(
+            F.sum(cents_col(F.col("value")).cast("decimal(38,0)"))
+            .over(w)
+            .cast("double")
+            / 100,
+            2,
+        ).alias("sum_trailing_hour"),
     )
 
 
