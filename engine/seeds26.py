@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from engine.det import pround
+from engine.det import cents_col, cents_sql, exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, pround
 from engine.registry import query
 from engine.session import load
 
@@ -51,10 +51,14 @@ WINSOR_LO, WINSOR_HI = 0.01, 0.99
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CASE WHEN c.c < b.lo OR c.c > b.hi THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clipped,
-           ROUND(AVG(c.c), 4) AS mean_raw,
-           ROUND(AVG(CASE WHEN c.c < b.lo THEN b.lo
-                          WHEN c.c > b.hi THEN b.hi
-                          ELSE c.c END), 4) AS mean_winsorized
+           ROUND(CAST(SUM(c.c) AS DOUBLE) / COUNT(c.c), 4) AS mean_raw,
+           ROUND((CAST(SUM(CASE WHEN c.c >= b.lo AND c.c <= b.hi
+                               THEN c.c ELSE 0 END) AS DOUBLE)
+                  + CAST(SUM(CASE WHEN c.c < b.lo THEN 1 ELSE 0 END)
+                         AS DOUBLE) * MIN(b.lo)
+                  + CAST(SUM(CASE WHEN c.c > b.hi THEN 1 ELSE 0 END)
+                         AS DOUBLE) * MIN(b.hi))
+                 / COUNT(c.c), 4) AS mean_winsorized
     FROM c JOIN b USING (event_type)
     GROUP BY 1
     """,
@@ -81,11 +85,22 @@ def llm_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("c", F.lit(WINSOR_HI)).alias("hi"),
     )
     j = c.join(F.broadcast(b), "event_type")
-    clipped = (
-        F.when(F.col("c") < F.col("lo"), F.col("lo"))
-        .when(F.col("c") > F.col("hi"), F.col("hi"))
-        .otherwise(F.col("c"))
-    )
+    # r10 quantization audit: the winsorized mean DECOMPOSES into exact
+    # integer sums plus two scalar multiplies — Σclipped = Σ(in-band c)
+    # + n_lo·lo + n_hi·hi — so no double folds over data-sized groups
+    # remain (the clip bounds are fractional interpolated quantiles,
+    # but they enter once per group, not once per row). mean_raw is the
+    # SUM/COUNT form over exact cents.
+    in_band = (F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi"))
+    sum_mid = F.sum(
+        F.when(in_band, F.col("c")).otherwise(F.lit(0)).cast("decimal(38,0)")
+    ).cast("double")
+    n_lo = F.sum(
+        F.when(F.col("c") < F.col("lo"), 1).otherwise(0)
+    ).cast("double")
+    n_hi = F.sum(
+        F.when(F.col("c") > F.col("hi"), 1).otherwise(0)
+    ).cast("double")
     return j.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(
@@ -95,8 +110,16 @@ def llm_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_clipped"),
-        pround(F.avg("c"), 4).alias("mean_raw"),
-        pround(F.avg(clipped), 4).alias("mean_winsorized"),
+        pround(
+            F.sum(F.col("c").cast("decimal(38,0)")).cast("double")
+            / F.count("c"),
+            4,
+        ).alias("mean_raw"),
+        pround(
+            (sum_mid + n_lo * F.min("lo") + n_hi * F.min("hi"))
+            / F.count("c"),
+            4,
+        ).alias("mean_winsorized"),
     )
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from engine.det import pround
+from engine.det import cents_col, cents_sql, exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, pround
 from engine.registry import query
 from engine.session import load
 from engine.vec import _dot, _sq_norm, cosine
@@ -77,7 +77,7 @@ def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
              DATE_DIFF('day', CAST(MAX(ts) AS DATE),
                        (SELECT a FROM anchor)) AS recency_days,
              COUNT(*) AS frequency,
-             ROUND(SUM(value), 2) AS monetary
+             {exact_sum_sql(cents_sql("value"), 100)} AS monetary
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     )
     SELECT user_id, CAST(recency_days AS INT) AS recency_days,
@@ -117,7 +117,10 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.col("ts").cast("date")).alias("last_d"),
             F.count("*").alias("frequency"),
-            pround(F.sum("value"), 2).alias("monetary"),
+            # exact cents sum (r10 quantization audit): the m_score
+            # threshold compares this value, so membership must not
+            # ride on accumulation order.
+            exact_sum(cents_col(F.col("value")), 100).alias("monetary"),
         )
         .join(F.broadcast(anchor))
         .select(

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from engine.det import pround
+from engine.det import cents_col, cents_sql, exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, pround
 from engine.registry import query
 from engine.session import load
 from engine.splits import SPLIT_CASE_SQL, split_col
@@ -73,7 +73,8 @@ PCTL_PROBES = (0.5, 0.9, 0.99)
            COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_nulls,
-           ROUND(AVG(val), 4) AS avg_val
+           ROUND(CAST(SUM(CAST(FLOOR(val * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(val) / 100, 4) AS avg_val
     FROM u GROUP BY 1, 2
     """,
 )
@@ -113,7 +114,11 @@ def agg_melt_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_nulls"),
-            pround(F.avg("val"), 4).alias("avg_val"),
+            # exact cents mean (r10 quantization audit): every melted
+            # measure is 2-decimal-grain (quantity integral, discount/
+            # tax cents), so the quantization is lossless; COUNT(val)
+            # skips the manufactured NULLs exactly as AVG did.
+            exact_avg(cents_col(F.col("val")), 100, 4).alias("avg_val"),
         )
     )
 
@@ -137,14 +142,16 @@ def agg_melt_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), day_agg AS (
       SELECT CAST(o_orderdate AS DATE) AS od,
              COUNT(*) AS n_orders,
-             SUM(o_totalprice) AS day_price
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS day_price_c
       FROM orders GROUP BY 1
     )
     SELECT YEAR(d) AS cal_year,
            QUARTER(d) AS cal_quarter,
            COUNT(DISTINCT d) AS n_days,
            CAST(COALESCE(SUM(n_orders), 0) AS BIGINT) AS n_orders,
-           ROUND(COALESCE(SUM(day_price), 0.0), 2) AS sum_price
+           ROUND(CAST(COALESCE(SUM(day_price_c), 0) AS DOUBLE) / 100, 2)
+             AS sum_price
     FROM cal LEFT JOIN day_agg ON od = d
     GROUP BY 1, 2
     """,
@@ -173,7 +180,10 @@ def join_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     day_agg = o.groupBy("od").agg(
         F.count("*").alias("n_orders"),
-        F.sum("o_totalprice").alias("day_price"),
+        # exact cents at both aggregation levels (r10 quantization
+        # audit): the day rollup sums BIGINT cents, the quarter rollup
+        # re-sums those exact integers.
+        F.sum(cents_col(F.col("o_totalprice"))).alias("day_price_c"),
     )
     return (
         cal.join(F.broadcast(day_agg), cal["d"] == day_agg["od"], "left")
@@ -186,9 +196,14 @@ def join_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_orders"), F.lit(0))
             .cast("long")
             .alias("n_orders"),
-            pround(F.coalesce(F.sum("day_price"), F.lit(0.0)), 2).alias(
-                "sum_price"
-            ),
+            pround(
+                F.coalesce(
+                    F.sum(F.col("day_price_c").cast("decimal(38,0)")),
+                    F.lit(0),
+                ).cast("double")
+                / 100,
+                2,
+            ).alias("sum_price"),
         )
     )
 

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from engine.det import pround
+from engine.det import cents_col, cents_sql, exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, pround
 from engine.registry import query
 from engine.session import load
 
@@ -115,8 +115,11 @@ def build_bucketed_join(
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact 1e-4-unit revenue sum (r10 quantization audit)
+            exact_sum(
+                cents_col(F.col("l_extendedprice"))
+                * (100 - cents_col(F.col("l_discount"))),
+                10000,
             ).alias("revenue"),
         )
     )
@@ -127,7 +130,10 @@ def build_bucketed_join(
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          * (100 - CAST(FLOOR(l_discount * 100 + 0.5)
+                                        AS BIGINT))) AS DOUBLE)
+                 / 10000, 2) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -197,7 +203,10 @@ def build_dpp_join(spark: SparkSession, sf_dir: str, out: Path) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.count("*").alias("n_orders"),
-            pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+            # exact cents sum (r10 quantization audit)
+            exact_sum(cents_col(F.col("o_totalprice")), 100).alias(
+                "sum_price"
+            ),
         )
     )
 
@@ -207,7 +216,8 @@ def build_dpp_join(spark: SparkSession, sf_dir: str, out: Path) -> DataFrame:
     oracle=f"""
     SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100, 2) AS sum_price
     FROM orders
     WHERE EXTRACT(YEAR FROM o_orderdate) IN {DPP_YEARS}
     GROUP BY 1
@@ -269,7 +279,9 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT max_stage,
            COUNT(*) AS n_users,
-           ROUND(AVG(us_to_last / 1000000.0), 2) AS avg_secs_to_last
+           ROUND(CAST(SUM(us_to_last) AS DOUBLE)
+                 / COUNT(us_to_last) / 1000000.0, 2)
+             AS avg_secs_to_last
     FROM staged GROUP BY max_stage
     """,
 )
@@ -299,9 +311,14 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = funnel_staged(e)
     return staged.groupBy("max_stage").agg(
         F.count("*").alias("n_users"),
-        pround(F.avg(F.col("us_to_last") / 1000000.0), 2).alias(
-            "avg_secs_to_last"
-        ),
+        # exact micros mean (r10 quantization audit): us_to_last is an
+        # exact BIGINT, so SUM/COUNT defers the one IEEE division to
+        # the end instead of averaging per-row double quotients.
+        pround(
+            F.sum("us_to_last").cast("double")
+            / F.count("us_to_last") / 1000000.0,
+            2,
+        ).alias("avg_secs_to_last"),
     )
 
 
@@ -435,7 +452,8 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE event_type = 'error' AND (pv IS NOT NULL OR nv IS NOT NULL)
     )
     SELECT user_id, COUNT(*) AS n_errors,
-           ROUND(AVG(gap_us / 1000000.0), 4) AS avg_gap_s,
+           ROUND(CAST(SUM(gap_us) AS DOUBLE)
+                 / COUNT(gap_us) / 1000000.0, 4) AS avg_gap_s,
            ROUND(MIN(gap_us / 1000000.0), 4) AS min_gap_s
     FROM gaps GROUP BY user_id
     """,
@@ -463,7 +481,13 @@ def ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = nearest_gaps(ev)
     return gaps.groupBy("user_id").agg(
         F.count("*").alias("n_errors"),
-        pround(F.avg(F.col("gap_us") / 1000000.0), 4).alias("avg_gap_s"),
+        # exact micros mean (r10 quantization audit): gap_us is exact
+        # BIGINT, so SUM/COUNT defers the one IEEE division to the end.
+        pround(
+            F.sum("gap_us").cast("double")
+            / F.count("gap_us") / 1000000.0,
+            4,
+        ).alias("avg_gap_s"),
         pround(F.min(F.col("gap_us") / 1000000.0), 4).alias("min_gap_s"),
     )
 
@@ -762,20 +786,28 @@ def events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT r_name, n_name,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(FLOOR(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS DOUBLE)
+                   / 10000, 2) AS revenue
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name
+    ), revc AS (
+      SELECT r_name, n_name, revenue,
+             CAST(FLOOR(revenue * 100 + 0.5) AS BIGINT) AS revenue_c
+      FROM rev
     )
     SELECT r_name, n_name, revenue,
-           ROUND(revenue / NULLIF(SUM(revenue) OVER (PARTITION BY r_name),
-                                  0), 6) AS region_share,
+           ROUND(CAST(revenue_c AS DOUBLE)
+                 / NULLIF(CAST(SUM(revenue_c) OVER (PARTITION BY r_name)
+                               AS DOUBLE), 0), 6) AS region_share,
            CAST(RANK() OVER (PARTITION BY r_name
                              ORDER BY revenue DESC, n_name) AS INTEGER)
              AS region_rank
-    FROM rev
+    FROM revc
     """,
 )
 def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,12 +833,18 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
+        # exact 1e-4-unit revenue sum (r10 quantization audit)
         .agg(
-            pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
+            exact_sum(
+                cents_col(F.col("l_extendedprice"))
+                * (100 - cents_col(F.col("l_discount"))),
+                10000,
             ).alias("revenue")
         )
+        # integer-cents twin of the rounded revenue: the window total
+        # and the share divide exact integers, so the 1e-6-grain share
+        # cannot ride on a 25-addend double fold.
+        .withColumn("revenue_c", cents_col(F.col("revenue")))
     )
     w = W.partitionBy("r_name")
     wr = W.partitionBy("r_name").orderBy(
@@ -819,7 +857,11 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # try_divide: a zero-revenue region is an undefined share, not
         # an ANSI abort (zero-values exact sweep).
         pround(
-            F.try_divide(F.col("revenue"), F.sum("revenue").over(w)), 6
+            F.try_divide(
+                F.col("revenue_c").cast("double"),
+                F.sum("revenue_c").over(w).cast("double"),
+            ),
+            6,
         ).alias("region_share"),
         F.rank().over(wr).cast("int").alias("region_rank"),
     )
