@@ -464,58 +464,39 @@ def test_exact_witness_absolute_caps_pushed(spark):
     assert "JACCARD_WITNESS_MAX_ID" in body
 
 
-# The stale-order literal for the round-9 pin: the 60 stalest oracled
-# rows under the r1-r8 history, ordered by (latest driver round,
-# registration order) — 25 r1 rows, 17 r2, 18 r3. Pinned
-# literally (not recomputed via _stale_fill) so a damaged/lost
-# correctness file or a registration reorder CHANGES the computed fill
-# and fails against this list, instead of the test silently agreeing
-# with whatever the import computed (ADVICE r8 item 5).
-_R9_STALE_ORDER = [
-    "agg_pricing_summary", "agg_global", "agg_count_distinct",
-    "agg_distinct_rows", "agg_pivot", "agg_collect_sorted",
-    "sort_limit_topk", "set_union_all", "set_union_distinct",
-    "set_intersect", "set_except", "join_skew_salted", "merge_upsert",
-    "fn_string", "fn_datetime", "fn_array", "fn_array_doc_stats",
-    "fn_json", "fn_hash", "win_ranking", "win_lag_lead",
-    "win_running_sum", "win_moving_avg", "win_topk_per_group",
-    "win_first_last", "llm_chunk_split", "llm_seq_packing",
-    "llm_simhash", "llm_embedding_neardup", "llm_ann_lsh",
-    "llm_lang_id", "llm_token_count", "llm_quality_score", "llm_kmeans",
-    "llm_ann_ivf", "mm_frame_sample", "mm_payload_dedup",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q7_nation_volume", "q19_disjunctive_pred", "q22_dormant_customers",
-    "sql_exists_subquery", "win_sessionize", "agg_percentile",
-    "agg_histogram", "q18_large_volume", "llm_token_regex",
-    "join_bloom_prefilter", "win_gap_islands", "llm_doc_entropy",
-    "q10_returned_items", "llm_inverted_index", "llm_bm25_topk",
-    "stream_sliding", "stream_session", "stream_user_state",
-    "stream_dedup", "stream_stream_join", "stream_tumbling",
-]
+# The fill literal for the round-10 pin: with the 49 quantization-audit
+# conversions occupying the changed-code head, exactly ONE recycling
+# slot remains, and under the r1-r9 history the stalest oracled row
+# outside the changed set is win_gap_islands (r3; the next-stalest —
+# llm_doc_entropy, llm_inverted_index, llm_bm25_topk, stream_dedup,
+# stream_stream_join, the r3 udf family — head the r11 fill). Pinned
+# literally so a damaged/lost correctness file or a registration
+# reorder CHANGES the computed fill and fails against this list,
+# instead of the test silently agreeing with whatever the import
+# computed (ADVICE r8 item 5).
+_R10_FILL = ["win_gap_islands"]
 
 
-def test_round9_correctness_window():
-    """Round-9 window pin (steady-state policy, engine/__init__): the
-    len(_R9_CHANGED) changed-code rows occupy the head, and the
-    remaining 50 - len(_R9_CHANGED) slots MUST be the stalest oracled
-    rows by (latest CORRECTNESS_r*.json round, registration order) —
-    this is the round that proves the recycler self-drives (VERDICT r8
-    item 1), so the fill is pinned against the LITERAL r1-r3 stale
-    order above, not against a re-run of the same function that
-    computed it. Also asserts the history files themselves are
-    structurally sound (exactly 50 known qids each), so a corrupted or
-    truncated report is caught here rather than silently reshaping the
-    window (ADVICE r8 items 4-5)."""
+def test_round10_correctness_window():
+    """Round-10 window pin (steady-state policy, engine/__init__): the
+    len(_R10_CHANGED) changed-code rows (the SUM/AVG quantization audit
+    conversions) occupy the head, and the remaining slot MUST be the
+    stalest oracled row by (latest CORRECTNESS_r*.json round,
+    registration order) — pinned against the LITERAL above, not against
+    a re-run of the same function that computed it. Also asserts the
+    history files themselves are structurally sound (exactly 50 known
+    qids each), so a corrupted or truncated report is caught here
+    rather than silently reshaping the window (ADVICE r8 items 4-5)."""
     import glob
     import json
     import os
     import re
 
     ids = list(engine.QUERIES)
-    assert ids[: len(engine._R9_CHANGED)] == engine._R9_CHANGED, (
+    assert ids[: len(engine._R10_CHANGED)] == engine._R10_CHANGED, (
         "a changed-code row fell out of the driver window head"
     )
-    fill = ids[len(engine._R9_CHANGED):50]
+    fill = ids[len(engine._R10_CHANGED):50]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     # Structural soundness of the history the recycler read: every
@@ -535,21 +516,18 @@ def test_round9_correctness_window():
         )
         unknown = [q for q in rows if q not in engine.QUERIES]
         assert not unknown, f"{p}: unregistered qids {unknown}"
-    assert rounds_seen[:8] == [1, 2, 3, 4, 5, 6, 7, 8], (
-        "a pre-r9 driver report went missing — the recycler window "
+    assert rounds_seen[:9] == [1, 2, 3, 4, 5, 6, 7, 8, 9], (
+        "a pre-r10 driver report went missing — the recycler window "
         "would silently reshape"
     )
 
-    if max(rounds_seen) == 8:
-        # This round's exact snapshot (history = r1-r8): the fill must
-        # be the literal stale order minus any changed-code rows.
-        expect = [
-            q for q in _R9_STALE_ORDER if q not in set(engine._R9_CHANGED)
-        ][: 50 - len(engine._R9_CHANGED)]
-        assert fill == expect, (
-            "oldest-row recycling fill drifted from the pinned r1-r3 tail"
+    if max(rounds_seen) == 9:
+        # This round's exact snapshot (history = r1-r9): the fill must
+        # be the literal stale row above.
+        assert fill == _R10_FILL, (
+            "oldest-row recycling fill drifted from the pinned r10 fill"
         )
-    # Policy invariants hold in every round (once CORRECTNESS_r09+
+    # Policy invariants hold in every round (once CORRECTNESS_r10+
     # lands, the fill legitimately rotates to the next-oldest tail):
     assert len(ids[:50]) == 50 and len(set(ids[:50])) == 50
     for qid in fill:
@@ -557,7 +535,7 @@ def test_round9_correctness_window():
         # it past the driver's weaker rows-only tier)
         assert qid in engine.ORACLES, f"{qid}: rows-only op in fill slot"
     assert fill == engine._stale_fill(
-        engine._R9_CHANGED, 50 - len(engine._R9_CHANGED)
+        engine._R10_CHANGED, 50 - len(engine._R10_CHANGED)
     ), "window fill does not match the declared stale-fill policy"
 
 
