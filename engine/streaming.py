@@ -103,16 +103,27 @@ def session_agg(ev: DataFrame) -> DataFrame:
     "stream_session",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      -- TOTAL window order (ts, event_id), not just ts: the flag CTE
+      -- and the running-sum CTE are two SEPARATE window sorts, and
+      -- with tied timestamps an underdetermined ORDER BY ts lets the
+      -- two sorts order ties differently — the new_session flag row
+      -- then lands mid-cluster in the second sort and every tied row
+      -- sorted before it leaks into the PREVIOUS session (caught by
+      -- the composed skew×row-order sweep at sf0.1: the hot user's
+      -- 6-hour-grid clusters swapped 1–101 events between adjacent
+      -- sessions run-to-run). Gaps between ties are 0 either way, so
+      -- the tiebreak changes nothing semantically — it only makes the
+      -- two sorts agree. SURVEY §7.5.4, oracle side.
+      SELECT user_id, ts, value, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, value,
              SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
       FROM flagged
     )
