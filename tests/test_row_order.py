@@ -45,6 +45,21 @@ import os
 
 _SEED = int(os.environ.get("ENGINE_ROWORDER_SEED", str(0x5208)), 0)
 
+# ENGINE_ROWORDER_FAMILY=sumavg restricts the oracled tier to the
+# SUM/AVG-bearing oracle family (the r10 quantization-audit population,
+# same computed predicate as tests/test_skew_roworder.py) so multi-seed
+# soak runs at sf0.1 spend their wall-clock on the class that has
+# actually flapped (q9 / sql_scalar_subquery / agg_unpivot) instead of
+# re-running bit-stable string/count ops eight times.
+if os.environ.get("ENGINE_ROWORDER_FAMILY") == "sumavg":
+    _ORACLED_IDS = sorted(
+        qid
+        for qid, sql in engine.ORACLES.items()
+        if "SUM(" in sql.upper() or "AVG(" in sql.upper()
+    )
+else:
+    _ORACLED_IDS = sorted(engine.ORACLES)
+
 
 @pytest.fixture(scope="session")
 def shuffled_sf_dir(tmp_path_factory):
@@ -68,7 +83,7 @@ def test_no_oracle_query_survives_shuffled_rows(spark, shuffled_sf_dir, qid):
     assert len(df.schema.fields) > 0
 
 
-@pytest.mark.parametrize("qid", sorted(engine.ORACLES))
+@pytest.mark.parametrize("qid", _ORACLED_IDS)
 def test_result_invariant_to_row_order(spark, shuffled_sf_dir, ddb, qid):
     """Spark on the shuffled twin vs the oracle on the CANONICAL
     fixtures: equality means the result is a pure function of table
