@@ -57,6 +57,21 @@ if os.environ.get("ENGINE_ROWORDER_FAMILY") == "sumavg":
         for qid, sql in engine.ORACLES.items()
         if "SUM(" in sql.upper() or "AVG(" in sql.upper()
     )
+elif os.environ.get("ENGINE_ROWORDER_FAMILY") == "moment":
+    # The class the r10 ledger records as having no lossless integer
+    # form (BASELINE.md r10 audit, last bullet): higher-moment and
+    # order-statistic folds. Small (≈11 ops), so soak runs can afford
+    # many more seeds per wall-clock hour than the sumavg family.
+    import re as _re
+
+    _MOMENT = _re.compile(
+        r"STDDEV|VAR_SAMP|VAR_POP|VARIANCE\(|CORR\(|COVAR|REGR_"
+        r"|SKEWNESS|KURTOSIS|PERCENTILE|MEDIAN\(|QUANTILE",
+        _re.I,
+    )
+    _ORACLED_IDS = sorted(
+        qid for qid, sql in engine.ORACLES.items() if _MOMENT.search(sql)
+    )
 else:
     _ORACLED_IDS = sorted(engine.ORACLES)
 
