@@ -98,6 +98,31 @@ def test_no_oracle_query_survives_shuffled_rows(spark, shuffled_sf_dir, qid):
     assert len(df.schema.fields) > 0
 
 
+def test_soak_families_are_nonempty():
+    """Both soak-family predicates must keep matching a real population:
+    an oracle refactor that rewrote SUM/AVG into window syntax or moved
+    the moment folds engine-side would silently shrink the multi-seed
+    soaks to nothing while every per-op test stayed green. Bounds, not
+    exact counts, so adding operators never breaks this."""
+    sumavg = [
+        q
+        for q, s in engine.ORACLES.items()
+        if "SUM(" in s.upper() or "AVG(" in s.upper()
+    ]
+    import re
+
+    moment = re.compile(
+        r"STDDEV|VAR_SAMP|VAR_POP|VARIANCE\(|CORR\(|COVAR|REGR_"
+        r"|SKEWNESS|KURTOSIS|PERCENTILE|MEDIAN\(|QUANTILE",
+        re.I,
+    )
+    moments = [q for q, s in engine.ORACLES.items() if moment.search(s)]
+    assert len(sumavg) >= 150, f"sumavg family collapsed: {len(sumavg)}"
+    assert len(moments) >= 10, f"moment family collapsed: {len(moments)}"
+    for known in ("agg_stats", "agg_corr_matrix", "udf_apply_in_pandas"):
+        assert known in moments, f"{known} left the moment family"
+
+
 @pytest.mark.parametrize("qid", _ORACLED_IDS)
 def test_result_invariant_to_row_order(spark, shuffled_sf_dir, ddb, qid):
     """Spark on the shuffled twin vs the oracle on the CANONICAL
