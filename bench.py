@@ -162,12 +162,28 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # Host-contention telemetry (VERDICT r10 wrong #1): BENCH_r10's
+    # 521 s reading was concurrent-sweep contamination, adjudicated only
+    # by off-artifact re-measurement. Recording the 1/5/15-min loadavg
+    # and the CPU allowance makes a contaminated run diagnosable from
+    # the artifact alone — loadavg far above len(affinity) at capture
+    # time means the wall numbers were taken on a busy host.
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = None
+    try:
+        cpus = len(os.sched_getaffinity(0))
+    except AttributeError:
+        cpus = os.cpu_count()
     full = {
         "metric": "engine_all_queries_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg": loadavg,
+        "cpus": cpus,
     }
     # Full per-query detail first (the documented contract line) ...
     print(json.dumps(full))
@@ -184,6 +200,8 @@ def main() -> None:
         "queries": {},
         "sf": sf,
         "n_queries": len(timings),
+        "loadavg": loadavg,
+        "cpus": cpus,
     }
     for qid, sec in slowest:
         summary["queries"][qid] = sec

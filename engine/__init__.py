@@ -99,39 +99,21 @@ registry.resolve_oracles()
 #      rotates the next-oldest tail into the following round's window —
 #      future rounds only maintain list (1).
 #
-# tests/test_plans.py::test_round10_correctness_window pins the resulting
+# tests/test_plans.py::test_round11_correctness_window pins the resulting
 # window for this round, so any drift (a lost correctness file, a
 # registration reorder) fails at test time, not silently at driver time.
 # ---------------------------------------------------------------------------
 
-# Round-10 changed-code priority list (VERDICT r9 item 2): the full
-# SUM/AVG quantization audit converted every rounded double money/
-# fixed-grain reduction to the exact integer house form (cents /
-# 1e-4-unit revenue / integer micros; DECIMAL(38,0) folds, one deferred
-# IEEE division) — 49 ops changed on BOTH the Spark and oracle side, so
-# they take 49 of the 50 driver slots this round. The r1-r3 evidence
-# tail the r9 verdict wanted drained loses its round to this audit by
-# the policy's own priority rule (changed code outranks stale rows);
-# six tail rows are converted ops and recycle here anyway, the ~17
-# others go to the r11 fill. Audit ledger: BASELINE.md r10.
-_R10_CHANGED = [
-    "agg_global", "agg_grouping_sets", "agg_grouping_sets_df",
-    "agg_histogram", "agg_melt_nulls", "agg_pivot", "agg_pricing_summary",
-    "agg_rollup", "case_when_coalesce", "events_rfm",
-    "events_window_funnel", "fn_json", "join_bloom_prefilter",
-    "join_broadcast_dims", "join_bucketed_colocated", "join_calendar_dim",
-    "join_dpp_prune", "join_skew_salted", "join_sortmerge_fact",
-    "llm_winsorize_clip", "merge_upsert", "q10_returned_items",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity",
-    "q19_disjunctive_pred", "q22_dormant_customers", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "sink_partitioned_parquet", "source_csv_roundtrip",
-    "source_json_roundtrip", "source_orc_roundtrip", "sql_exists_subquery",
-    "stream_foreach_batch_merge", "stream_session", "stream_sliding",
-    "stream_tumbling", "stream_user_state", "stream_watermark_design",
-    "ts_asof_nearest", "udf_pandas_grouped_agg", "win_moving_avg",
-    "win_range_interval", "win_ratio_to_report", "win_running_sum",
-]
+# Round-11 changed-code priority list: EMPTY by design (VERDICT r10
+# item 1). No operator implementation or oracle changed this round —
+# the r11 work is bench instrumentation (loadavg in the artifact),
+# test-infra dedup (shared soak-family helpers), and the perf pin for
+# llm_embedding_neardup, none of which alter any registered query's
+# semantics. With the priority list empty, the mechanical oldest-row
+# fill drains the entire stale driver-evidence tail in one window:
+# the 14 r3 rows + all 27 r4 rows + the 9 stalest r5 rows. Post-r11
+# staleness floor = r5.
+_R11_CHANGED: list[str] = []
 
 _WINDOW_SIZE = 50
 
@@ -188,10 +170,10 @@ def _stale_fill(priority: list[str], n: int) -> list[str]:
     return candidates[:n]
 
 
-_R10_WINDOW = _R10_CHANGED + _stale_fill(
-    _R10_CHANGED, _WINDOW_SIZE - len(_R10_CHANGED)
+_R11_WINDOW = _R11_CHANGED + _stale_fill(
+    _R11_CHANGED, _WINDOW_SIZE - len(_R11_CHANGED)
 )
-registry.promote(_R10_WINDOW)
+registry.promote(_R11_WINDOW)
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

@@ -1,15 +1,39 @@
 #!/bin/bash
-# r10 closing: 8-seed row-order soak at sf0.1 over the SUM/AVG oracle
-# family (VERDICT r9 item 2 endpoint). One pytest session per seed —
-# the shuffled-twin fixture is session-scoped and seed-dependent.
+# Multi-seed row-order soak at sf0.1 over one soak family (VERDICT r9
+# item 2 endpoint; families defined once in tests/conftest.py). One
+# pytest session per seed — the shuffled-twin fixture is session-scoped
+# and seed-dependent.
+#
+# Usage: soak_roworder.sh [family] [seed...]
+#   family: sumavg (default) or moment
+#   seeds : default 8..15
+#
+# Exit status is the OR of every seed's pytest status (ADVICE r10: the
+# old `| tail -2` pipe swallowed failures and always exited 0); each
+# seed also appends an explicit PASS/FAIL marker to the log.
 set -u
+FAMILY="${1:-sumavg}"
+shift 2>/dev/null || true
+SEEDS=("$@")
+if [ ${#SEEDS[@]} -eq 0 ]; then
+  SEEDS=(8 9 10 11 12 13 14 15)
+fi
 LOG=/tmp/soak_roworder.log
 : > "$LOG"
-for seed in 8 9 10 11 12 13 14 15; do
-  echo "=== seed $seed $(date +%T) ===" >> "$LOG"
+rc=0
+for seed in "${SEEDS[@]}"; do
+  echo "=== family $FAMILY seed $seed $(date +%T) ===" >> "$LOG"
   ENGINE_TEST_SF_DIR=/root/testdata/sf0.1 \
   ENGINE_ROWORDER_SEED=$seed \
-  ENGINE_ROWORDER_FAMILY=sumavg \
+  ENGINE_ROWORDER_FAMILY="$FAMILY" \
   python -m pytest tests/test_row_order.py -q 2>&1 | tail -2 >> "$LOG"
+  st=${PIPESTATUS[0]}
+  if [ "$st" -eq 0 ]; then
+    echo "seed $seed: PASS" >> "$LOG"
+  else
+    echo "seed $seed: FAIL (pytest exit $st)" >> "$LOG"
+    rc=1
+  fi
 done
-echo "=== SOAK DONE $(date +%T) ===" >> "$LOG"
+echo "=== SOAK DONE rc=$rc $(date +%T) ===" >> "$LOG"
+exit $rc

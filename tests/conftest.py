@@ -25,6 +25,37 @@ def spark():
     yield s
 
 
+def sumavg_family() -> list[str]:
+    """The SUM/AVG-bearing oracle family — the r10 quantization-audit
+    population. SINGLE definition shared by the row-order soak
+    selection, the family-collapse pin, and the composed skew sweep
+    (ADVICE r10: three hand-copied predicates had de-synced risk)."""
+    import engine
+
+    return sorted(
+        qid
+        for qid, sql in engine.ORACLES.items()
+        if "SUM(" in sql.upper() or "AVG(" in sql.upper()
+    )
+
+
+def moment_family() -> list[str]:
+    """Higher-moment / order-statistic oracle folds — the class the r10
+    ledger records as having no lossless integer form (BASELINE.md r10
+    audit, last bullet). Shared single definition, same rationale as
+    :func:`sumavg_family`."""
+    import re
+
+    import engine
+
+    pat = re.compile(
+        r"STDDEV|VAR_SAMP|VAR_POP|VARIANCE\(|CORR\(|COVAR|REGR_"
+        r"|SKEWNESS|KURTOSIS|PERCENTILE|MEDIAN\(|QUANTILE",
+        re.I,
+    )
+    return sorted(qid for qid, sql in engine.ORACLES.items() if pat.search(sql))
+
+
 def duck_connect() -> "duckdb.DuckDBPyConnection":
     """Oracle connection with the divide-by-zero semantics ENFORCED.
 

@@ -464,24 +464,44 @@ def test_exact_witness_absolute_caps_pushed(spark):
     assert "JACCARD_WITNESS_MAX_ID" in body
 
 
-# The fill literal for the round-10 pin: with the 49 quantization-audit
-# conversions occupying the changed-code head, exactly ONE recycling
-# slot remains, and under the r1-r9 history the stalest oracled row
-# outside the changed set is win_gap_islands (r3; the next-stalest —
-# llm_doc_entropy, llm_inverted_index, llm_bm25_topk, stream_dedup,
-# stream_stream_join, the r3 udf family — head the r11 fill). Pinned
-# literally so a damaged/lost correctness file or a registration
-# reorder CHANGES the computed fill and fails against this list,
-# instead of the test silently agreeing with whatever the import
-# computed (ADVICE r8 item 5).
-_R10_FILL = ["win_gap_islands"]
+# The fill literal for the round-11 pin: _R11_CHANGED is empty (no
+# operator or oracle changed this round), so ALL 50 slots recycle the
+# stalest oracled rows under the r1-r10 history — the complete r3 tail
+# (14 rows), the complete r4 tail (27 rows), then the 9 stalest r5 rows,
+# in (latest-round, registration-order) order. Pinned literally so a
+# damaged/lost correctness file or a registration reorder CHANGES the
+# computed fill and fails against this list, instead of the test
+# silently agreeing with whatever the import computed (ADVICE r8
+# item 5). Post-r11 staleness floor = r5.
+_R11_FILL = [
+    # 14 r3 rows
+    "llm_doc_entropy", "llm_inverted_index", "llm_bm25_topk",
+    "stream_dedup", "stream_stream_join", "udf_python_scalar",
+    "udf_pandas_scalar", "udf_map_in_pandas", "udtf_python",
+    "events_funnel", "agg_mode", "win_percentiles", "llm_pii_mask",
+    "llm_ann_recall",
+    # 27 r4 rows
+    "llm_ngram_jaccard", "llm_sample_stratified", "agg_decimal_money",
+    "q2_min_cost_supplier", "q11_important_stock", "q12_late_priority",
+    "q13_customer_distribution", "q16_parts_supplier",
+    "q21_suppliers_kept_waiting", "events_anomaly_zscore",
+    "llm_dataset_card", "emb_quantize_audit", "llm_semdedup",
+    "q4_order_priority", "q20_potential_promotion", "udf_cogroup_pandas",
+    "events_markov_transitions", "join_null_safe", "llm_repetition_filter",
+    "llm_gopher_quality", "llm_unigram_surprisal", "llm_quality_buckets",
+    "llm_domain_mixture", "llm_shard_manifest", "events_retention",
+    "llm_block_dedup", "udf_map_in_arrow",
+    # 9 stalest r5 rows
+    "win_ntile_cume", "llm_bigram_surprisal", "llm_ann_range",
+    "llm_stopword_profile", "agg_conditional_family", "ts_ohlc_bars",
+    "fn_bitwise", "llm_temperature_mixture", "llm_kfold_split",
+]
 
 
-def test_round10_correctness_window():
-    """Round-10 window pin (steady-state policy, engine/__init__): the
-    len(_R10_CHANGED) changed-code rows (the SUM/AVG quantization audit
-    conversions) occupy the head, and the remaining slot MUST be the
-    stalest oracled row by (latest CORRECTNESS_r*.json round,
+def test_round11_correctness_window():
+    """Round-11 window pin (steady-state policy, engine/__init__):
+    _R11_CHANGED is empty, so the whole 50-slot window MUST be the
+    stalest oracled rows by (latest CORRECTNESS_r*.json round,
     registration order) — pinned against the LITERAL above, not against
     a re-run of the same function that computed it. Also asserts the
     history files themselves are structurally sound (exactly 50 known
@@ -493,10 +513,11 @@ def test_round10_correctness_window():
     import re
 
     ids = list(engine.QUERIES)
-    assert ids[: len(engine._R10_CHANGED)] == engine._R10_CHANGED, (
-        "a changed-code row fell out of the driver window head"
+    assert engine._R11_CHANGED == [], (
+        "an r11 code change must be declared in the commit message and "
+        "crowd the fill explicitly, not slip in silently"
     )
-    fill = ids[len(engine._R10_CHANGED):50]
+    fill = ids[len(engine._R11_CHANGED):50]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     # Structural soundness of the history the recycler read: every
@@ -516,18 +537,18 @@ def test_round10_correctness_window():
         )
         unknown = [q for q in rows if q not in engine.QUERIES]
         assert not unknown, f"{p}: unregistered qids {unknown}"
-    assert rounds_seen[:9] == [1, 2, 3, 4, 5, 6, 7, 8, 9], (
-        "a pre-r10 driver report went missing — the recycler window "
+    assert rounds_seen[:10] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10], (
+        "a pre-r11 driver report went missing — the recycler window "
         "would silently reshape"
     )
 
-    if max(rounds_seen) == 9:
-        # This round's exact snapshot (history = r1-r9): the fill must
-        # be the literal stale row above.
-        assert fill == _R10_FILL, (
-            "oldest-row recycling fill drifted from the pinned r10 fill"
+    if max(rounds_seen) == 10:
+        # This round's exact snapshot (history = r1-r10): the fill must
+        # be the literal stale-tail drain above.
+        assert fill == _R11_FILL, (
+            "oldest-row recycling fill drifted from the pinned r11 fill"
         )
-    # Policy invariants hold in every round (once CORRECTNESS_r10+
+    # Policy invariants hold in every round (once CORRECTNESS_r11+
     # lands, the fill legitimately rotates to the next-oldest tail):
     assert len(ids[:50]) == 50 and len(set(ids[:50])) == 50
     for qid in fill:
@@ -535,7 +556,7 @@ def test_round10_correctness_window():
         # it past the driver's weaker rows-only tier)
         assert qid in engine.ORACLES, f"{qid}: rows-only op in fill slot"
     assert fill == engine._stale_fill(
-        engine._R10_CHANGED, 50 - len(engine._R10_CHANGED)
+        engine._R11_CHANGED, 50 - len(engine._R11_CHANGED)
     ), "window fill does not match the declared stale-fill policy"
 
 

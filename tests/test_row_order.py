@@ -46,34 +46,32 @@ import os
 _SEED = int(os.environ.get("ENGINE_ROWORDER_SEED", str(0x5208)), 0)
 
 # ENGINE_ROWORDER_FAMILY=sumavg restricts the oracled tier to the
-# SUM/AVG-bearing oracle family (the r10 quantization-audit population,
-# same computed predicate as tests/test_skew_roworder.py) so multi-seed
-# soak runs at sf0.1 spend their wall-clock on the class that has
-# actually flapped (q9 / sql_scalar_subquery / agg_unpivot) instead of
-# re-running bit-stable string/count ops eight times.
-if os.environ.get("ENGINE_ROWORDER_FAMILY") == "sumavg":
-    _ORACLED_IDS = sorted(
-        qid
-        for qid, sql in engine.ORACLES.items()
-        if "SUM(" in sql.upper() or "AVG(" in sql.upper()
-    )
-elif os.environ.get("ENGINE_ROWORDER_FAMILY") == "moment":
-    # The class the r10 ledger records as having no lossless integer
-    # form (BASELINE.md r10 audit, last bullet): higher-moment and
-    # order-statistic folds. Small (≈11 ops), so soak runs can afford
-    # many more seeds per wall-clock hour than the sumavg family.
-    import re as _re
+# SUM/AVG-bearing oracle family (the r10 quantization-audit population)
+# so multi-seed soak runs at sf0.1 spend their wall-clock on the class
+# that has actually flapped (q9 / sql_scalar_subquery / agg_unpivot)
+# instead of re-running bit-stable string/count ops eight times.
+# ENGINE_ROWORDER_FAMILY=moment selects the higher-moment /
+# order-statistic folds (the class with no lossless integer form —
+# small, so soaks afford many more seeds per hour). Both predicates
+# live ONCE in tests/conftest.py, shared with the family-collapse pin
+# and the composed skew sweep (ADVICE r10). An unrecognized value
+# FAILS COLLECTION rather than silently widening the soak to all 283
+# oracles — a typo'd invocation must not record a green run against
+# the wrong population (ADVICE r10).
+from tests.conftest import moment_family, sumavg_family
 
-    _MOMENT = _re.compile(
-        r"STDDEV|VAR_SAMP|VAR_POP|VARIANCE\(|CORR\(|COVAR|REGR_"
-        r"|SKEWNESS|KURTOSIS|PERCENTILE|MEDIAN\(|QUANTILE",
-        _re.I,
-    )
-    _ORACLED_IDS = sorted(
-        qid for qid, sql in engine.ORACLES.items() if _MOMENT.search(sql)
-    )
-else:
+_FAMILY = os.environ.get("ENGINE_ROWORDER_FAMILY")
+if _FAMILY == "sumavg":
+    _ORACLED_IDS = sumavg_family()
+elif _FAMILY == "moment":
+    _ORACLED_IDS = moment_family()
+elif _FAMILY is None or _FAMILY == "":
     _ORACLED_IDS = sorted(engine.ORACLES)
+else:
+    raise ValueError(
+        f"ENGINE_ROWORDER_FAMILY={_FAMILY!r} is not a known soak family "
+        "(expected 'sumavg', 'moment', or unset)"
+    )
 
 
 @pytest.fixture(scope="session")
@@ -103,20 +101,11 @@ def test_soak_families_are_nonempty():
     an oracle refactor that rewrote SUM/AVG into window syntax or moved
     the moment folds engine-side would silently shrink the multi-seed
     soaks to nothing while every per-op test stayed green. Bounds, not
-    exact counts, so adding operators never breaks this."""
-    sumavg = [
-        q
-        for q, s in engine.ORACLES.items()
-        if "SUM(" in s.upper() or "AVG(" in s.upper()
-    ]
-    import re
-
-    moment = re.compile(
-        r"STDDEV|VAR_SAMP|VAR_POP|VARIANCE\(|CORR\(|COVAR|REGR_"
-        r"|SKEWNESS|KURTOSIS|PERCENTILE|MEDIAN\(|QUANTILE",
-        re.I,
-    )
-    moments = [q for q, s in engine.ORACLES.items() if moment.search(s)]
+    exact counts, so adding operators never breaks this. Guards the
+    SAME conftest helpers the soak parametrizes on (ADVICE r10: a copy
+    of the predicate here would de-sync from the sweep silently)."""
+    sumavg = sumavg_family()
+    moments = moment_family()
     assert len(sumavg) >= 150, f"sumavg family collapsed: {len(sumavg)}"
     assert len(moments) >= 10, f"moment family collapsed: {len(moments)}"
     for known in ("agg_stats", "agg_corr_matrix", "udf_apply_in_pandas"):

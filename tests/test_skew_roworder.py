@@ -41,20 +41,20 @@ from tests.test_skewed_keys import skew_sf_dir  # noqa: F401  (fixture)
 _SEED = int(os.environ.get("ENGINE_ROWORDER_SEED", str(0x5209)), 0)
 
 # The audited population: every oracled op whose oracle folds a SUM or
-# AVG (computed, not hand-listed, so new operators join automatically).
+# AVG — the SHARED conftest predicate (ADVICE r10: three hand-copied
+# predicates risked silent de-sync), so new operators join
+# automatically and the family-collapse pin guards this exact list.
 # ENGINE_SKEW_ROWORDER_ALL=1 widens the sweep to EVERY oracled op —
 # the composed twin's first full-registry run at sf0.1 caught a
 # tie-order-sensitive oracle (stream_session) that nine rounds of
 # single-face sweeps never reached, so the wide mode is worth its cost
 # on closing sweeps.
+from tests.conftest import sumavg_family
+
 if os.environ.get("ENGINE_SKEW_ROWORDER_ALL"):
     SUMAVG_FAMILY = sorted(engine.ORACLES)
 else:
-    SUMAVG_FAMILY = sorted(
-        qid
-        for qid, sql in engine.ORACLES.items()
-        if "SUM(" in sql.upper() or "AVG(" in sql.upper()
-    )
+    SUMAVG_FAMILY = sumavg_family()
 
 
 def test_family_is_nonempty_and_large():
