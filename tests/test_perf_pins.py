@@ -1,0 +1,78 @@
+"""Quiet-host performance pins (VERDICT r10 item 6).
+
+`llm_embedding_neardup` is the one registry spot sensitive to JVM heap
+pressure: its exact broadcast block-matmul witness has a driver-side
+toPandas + broadcast stage whose observed band across rounds is
+1.2-6.4 s at sf0.1 — fine when quiet, the registry's worst swing when
+the host is loaded. The r10 verdict asked for one of (a) a pinned
+quiet-host regression bound or (b) demoting the broadcast path behind
+an env flag. We pin (a): demoting would make the hyperplane-banded
+APPROXIMATE path the bench/driver default, and its recall is only
+measured at fixture scale — trading a perf watch item for a latent
+correctness risk is the wrong direction.
+
+Why the gate + load check instead of an always-on assert: a wall-clock
+bound asserted under arbitrary CI load measures the HOST, not the code
+(the exact failure mode that poisoned BENCH_r10). So the pin
+
+  * only runs when ENGINE_PERF_PINS=1 (the closing-sweep sequence sets
+    it; BASELINE.md records each round's measured value), and
+  * SKIPS VISIBLY when 1-min loadavg says the host is already busy,
+    rather than recording a meaningless red/green.
+
+Run: ENGINE_PERF_PINS=1 python -m pytest tests/test_perf_pins.py -q
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+import engine
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("ENGINE_PERF_PINS"),
+    reason="quiet-host perf pin: set ENGINE_PERF_PINS=1 (closing sweeps)",
+)
+
+# Bench scale, matching the pinned bound's provenance (VERDICT r10
+# plan-audit item 1: quiet-host 1.37 s, band 1.2-6.4 s under load).
+PIN_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+EMBEDDING_NEARDUP_BOUND_S = 2.0
+# A 1-min loadavg above half the CPU allowance means other heavy work
+# shares the host; a pin measured there bounds the contention, not the
+# query, so refuse to measure (skip is visible in the sweep log).
+BUSY_LOAD_FRACTION = 0.5
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def test_embedding_neardup_quiet_host_bound(spark):
+    load1 = os.getloadavg()[0]
+    try:
+        cpus = len(os.sched_getaffinity(0))
+    except AttributeError:
+        cpus = os.cpu_count() or 1
+    if load1 > BUSY_LOAD_FRACTION * cpus:
+        pytest.skip(
+            f"host busy (load1={load1:.1f} on {cpus} cpus) — a perf pin "
+            "measured under contention is meaningless; re-run quiet"
+        )
+    q = engine.QUERIES["llm_embedding_neardup"]
+    _force(q(spark, PIN_SF_DIR))  # warm: JIT, parquet footers, workers
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(q(spark, PIN_SF_DIR))
+        samples.append(time.perf_counter() - t0)
+    median = sorted(samples)[1]
+    assert median <= EMBEDDING_NEARDUP_BOUND_S, (
+        f"llm_embedding_neardup quiet-host median {median:.2f}s "
+        f"(samples {[round(s, 2) for s in samples]}) exceeds the "
+        f"{EMBEDDING_NEARDUP_BOUND_S}s pin — the broadcast witness "
+        "stage regressed (VERDICT r10 item 6)"
+    )
