@@ -141,6 +141,15 @@ def main() -> None:
         print(f"unknown query id(s): {unknown}", file=sys.stderr)
         print(f"known ids: {sorted(engine.QUERIES)}", file=sys.stderr)
         sys.exit(2)
+    # Pre-existing host contention, sampled BEFORE any work starts:
+    # by end-of-run the bench's own load dominates the 1-min figure, so
+    # the start sample is the one that diagnoses a contaminated run
+    # (the BENCH_r10 failure mode — foreign sweeps sharing the host).
+    try:
+        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg_start = None
+
     spark = get_spark(app_name="engine-bench")
     warmup(spark, sf_dir)
 
@@ -169,9 +178,9 @@ def main() -> None:
     # the artifact alone — loadavg far above len(affinity) at capture
     # time means the wall numbers were taken on a busy host.
     try:
-        loadavg = [round(x, 2) for x in os.getloadavg()]
+        loadavg_end = [round(x, 2) for x in os.getloadavg()]
     except OSError:
-        loadavg = None
+        loadavg_end = None
     try:
         cpus = len(os.sched_getaffinity(0))
     except AttributeError:
@@ -182,7 +191,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "loadavg": loadavg,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
         "cpus": cpus,
     }
     # Full per-query detail first (the documented contract line) ...
@@ -200,7 +210,8 @@ def main() -> None:
         "queries": {},
         "sf": sf,
         "n_queries": len(timings),
-        "loadavg": loadavg,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
         "cpus": cpus,
     }
     for qid, sec in slowest:
