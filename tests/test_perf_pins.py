@@ -1,12 +1,25 @@
-"""Quiet-host performance pins (VERDICT r10 item 6).
+"""Quiet-host performance pins (VERDICT r10 item 6, r11 item 1).
 
-`llm_embedding_neardup` is the one registry spot sensitive to JVM heap
-pressure: its exact broadcast block-matmul witness has a driver-side
-toPandas + broadcast stage whose observed band across rounds is
-1.2-6.4 s at sf0.1 — fine when quiet, the registry's worst swing when
-the host is loaded. The r10 verdict asked for one of (a) a pinned
-quiet-host regression bound or (b) demoting the broadcast path behind
-an env flag. We pin (a): demoting would make the hyperplane-banded
+`llm_embedding_neardup` WAS the one registry spot sensitive to JVM heap
+pressure: through r11 its exact block-matmul witness had a driver-side
+toPandas + sparkContext.broadcast corpus stage that degraded with
+accumulated heap (in-bench 1.29 s r9 → 6.8 s r11, zero code change)
+while this standalone pin stayed green — i.e. the pin measured the
+wrong context (VERDICT r11 §wrong #1). r12 removed the driver stage
+entirely (the corpus side is now read worker-side from the source
+parquet, engine/scale_ops.py::_neardup_corpus), and this module keeps
+BOTH guards so a future regression is visible in either context:
+
+  * the original standalone bound (test_embedding_neardup_quiet_host_
+    bound), and
+  * an IN-CONTEXT bound (test_embedding_neardup_in_context_bound) that
+    first churns the same session with heavy registry queries — the
+    exact condition under which the old driver stage degraded — then
+    bounds the median.
+
+History: the r10 verdict asked for one of (a) a pinned quiet-host
+regression bound or (b) demoting the broadcast path behind an env
+flag. We pinned (a): demoting would make the hyperplane-banded
 APPROXIMATE path the bench/driver default, and its recall is only
 measured at fixture scale — trading a perf watch item for a latent
 correctness risk is the wrong direction.
@@ -51,7 +64,7 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def test_embedding_neardup_quiet_host_bound(spark):
+def _skip_if_busy() -> None:
     load1 = os.getloadavg()[0]
     try:
         cpus = len(os.sched_getaffinity(0))
@@ -62,6 +75,10 @@ def test_embedding_neardup_quiet_host_bound(spark):
             f"host busy (load1={load1:.1f} on {cpus} cpus) — a perf pin "
             "measured under contention is meaningless; re-run quiet"
         )
+
+
+def test_embedding_neardup_quiet_host_bound(spark):
+    _skip_if_busy()
     q = engine.QUERIES["llm_embedding_neardup"]
     _force(q(spark, PIN_SF_DIR))  # warm: JIT, parquet footers, workers
     samples = []
@@ -75,4 +92,41 @@ def test_embedding_neardup_quiet_host_bound(spark):
         f"(samples {[round(s, 2) for s in samples]}) exceeds the "
         f"{EMBEDDING_NEARDUP_BOUND_S}s pin — the broadcast witness "
         "stage regressed (VERDICT r10 item 6)"
+    )
+
+
+# Queries that churn the JVM heap and Python workers the way a full
+# bench pass does — the context in which the old driver-side corpus
+# stage degraded (r9 1.29 s → r11 6.8 s in-bench) while the standalone
+# pin above stayed green. Heavy by the r11 plan audit: full-corpus
+# shingle MinHash-LSH, the iterative CC fixpoint, and an Arrow
+# grouped-apply.
+IN_CONTEXT_CHURN = ["llm_ngram_lsh", "llm_dedup_clusters", "udf_apply_in_pandas"]
+EMBEDDING_NEARDUP_IN_CONTEXT_BOUND_S = 2.5
+
+
+def test_embedding_neardup_in_context_bound(spark):
+    """VERDICT r11 item 1(b): bound the op in a heap-churned session.
+
+    The standalone pin structurally could not see the in-bench growth
+    because the degradation only appeared after other heavy queries had
+    run in the same JVM. Churn first, then bound — if a driver-side
+    stage ever creeps back into this op, THIS pin degrades with it.
+    """
+    _skip_if_busy()
+    for name in IN_CONTEXT_CHURN:
+        _force(engine.QUERIES[name](spark, PIN_SF_DIR))
+    q = engine.QUERIES["llm_embedding_neardup"]
+    _force(q(spark, PIN_SF_DIR))  # warm after churn
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(q(spark, PIN_SF_DIR))
+        samples.append(time.perf_counter() - t0)
+    median = sorted(samples)[1]
+    assert median <= EMBEDDING_NEARDUP_IN_CONTEXT_BOUND_S, (
+        f"llm_embedding_neardup in-context median {median:.2f}s "
+        f"(samples {[round(s, 2) for s in samples]}) exceeds the "
+        f"{EMBEDDING_NEARDUP_IN_CONTEXT_BOUND_S}s pin after heavy-query "
+        "churn — a heap-sensitive stage is back (VERDICT r11 item 1)"
     )
