@@ -99,21 +99,23 @@ registry.resolve_oracles()
 #      rotates the next-oldest tail into the following round's window —
 #      future rounds only maintain list (1).
 #
-# tests/test_plans.py::test_round11_correctness_window pins the resulting
+# tests/test_plans.py::test_round12_correctness_window pins the resulting
 # window for this round, so any drift (a lost correctness file, a
 # registration reorder) fails at test time, not silently at driver time.
 # ---------------------------------------------------------------------------
 
-# Round-11 changed-code priority list: EMPTY by design (VERDICT r10
-# item 1). No operator implementation or oracle changed this round —
-# the r11 work is bench instrumentation (loadavg in the artifact),
-# test-infra dedup (shared soak-family helpers), and the perf pin for
-# llm_embedding_neardup, none of which alter any registered query's
-# semantics. With the priority list empty, the mechanical oldest-row
-# fill drains the entire stale driver-evidence tail in one window:
-# the 14 r3 rows + all 27 r4 rows + the 9 stalest r5 rows. Post-r11
-# staleness floor = r5.
-_R11_CHANGED: list[str] = []
+# Round-12 changed-code priority list (VERDICT r11 items 1+3):
+# llm_embedding_neardup's implementation changed this round — the
+# driver-side toPandas + sparkContext.broadcast corpus stage was
+# replaced by a worker-side parquet read (engine/scale_ops.py::
+# _neardup_corpus) to kill the heap-sensitivity tax the r11 verdict
+# flagged — so it takes the first window slot and its fresh driver
+# hash row lands the same round the code ships. The remaining 49
+# slots recycle mechanically: the 23 remaining oracled r5 rows (the
+# other two r5-tier rows, agg_hll_drift and agg_percentile_drift, are
+# rows-only by design and never recycled) + the 26 oldest r6 rows.
+# Post-r12 oracled staleness floor = r6.
+_R12_CHANGED: list[str] = ["llm_embedding_neardup"]
 
 _WINDOW_SIZE = 50
 
@@ -170,10 +172,10 @@ def _stale_fill(priority: list[str], n: int) -> list[str]:
     return candidates[:n]
 
 
-_R11_WINDOW = _R11_CHANGED + _stale_fill(
-    _R11_CHANGED, _WINDOW_SIZE - len(_R11_CHANGED)
+_R12_WINDOW = _R12_CHANGED + _stale_fill(
+    _R12_CHANGED, _WINDOW_SIZE - len(_R12_CHANGED)
 )
-registry.promote(_R11_WINDOW)
+registry.promote(_R12_WINDOW)
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

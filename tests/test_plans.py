@@ -464,60 +464,67 @@ def test_exact_witness_absolute_caps_pushed(spark):
     assert "JACCARD_WITNESS_MAX_ID" in body
 
 
-# The fill literal for the round-11 pin: _R11_CHANGED is empty (no
-# operator or oracle changed this round), so ALL 50 slots recycle the
-# stalest oracled rows under the r1-r10 history — the complete r3 tail
-# (14 rows), the complete r4 tail (27 rows), then the 9 stalest r5 rows,
-# in (latest-round, registration-order) order. Pinned literally so a
-# damaged/lost correctness file or a registration reorder CHANGES the
+# The fill literal for the round-12 pin: _R12_CHANGED is exactly
+# ["llm_embedding_neardup"] (its driver-side corpus stage was replaced
+# by a worker-side parquet read this round — VERDICT r11 item 1), so it
+# takes slot 0 and the other 49 slots recycle the stalest oracled rows
+# under the r1-r11 history — the 23 remaining oracled r5 rows (the two
+# other r5-tier rows, agg_hll_drift and agg_percentile_drift, are
+# rows-only by design and never fill-recycled), then the 26 oldest r6
+# rows, in (latest-round, registration-order) order. Pinned literally so
+# a damaged/lost correctness file or a registration reorder CHANGES the
 # computed fill and fails against this list, instead of the test
 # silently agreeing with whatever the import computed (ADVICE r8
-# item 5). Post-r11 staleness floor = r5.
-_R11_FILL = [
-    # 14 r3 rows
-    "llm_doc_entropy", "llm_inverted_index", "llm_bm25_topk",
-    "stream_dedup", "stream_stream_join", "udf_python_scalar",
-    "udf_pandas_scalar", "udf_map_in_pandas", "udtf_python",
-    "events_funnel", "agg_mode", "win_percentiles", "llm_pii_mask",
-    "llm_ann_recall",
-    # 27 r4 rows
-    "llm_ngram_jaccard", "llm_sample_stratified", "agg_decimal_money",
-    "q2_min_cost_supplier", "q11_important_stock", "q12_late_priority",
-    "q13_customer_distribution", "q16_parts_supplier",
-    "q21_suppliers_kept_waiting", "events_anomaly_zscore",
-    "llm_dataset_card", "emb_quantize_audit", "llm_semdedup",
-    "q4_order_priority", "q20_potential_promotion", "udf_cogroup_pandas",
-    "events_markov_transitions", "join_null_safe", "llm_repetition_filter",
-    "llm_gopher_quality", "llm_unigram_surprisal", "llm_quality_buckets",
-    "llm_domain_mixture", "llm_shard_manifest", "events_retention",
-    "llm_block_dedup", "udf_map_in_arrow",
-    # 9 stalest r5 rows
-    "win_ntile_cume", "llm_bigram_surprisal", "llm_ann_range",
-    "llm_stopword_profile", "agg_conditional_family", "ts_ohlc_bars",
-    "fn_bitwise", "llm_temperature_mixture", "llm_kfold_split",
+# item 5). Post-r12 oracled staleness floor = r6.
+_R12_FILL = [
+    # 23 r5 rows
+    "events_hourly_profile", "agg_corr_matrix", "join_interval_overlap",
+    "llm_decontaminate_lsh", "set_except_all", "events_cooccurrence",
+    "win_weighted_ma", "merge_scd2_versions", "events_path_topk",
+    "llm_containment_neardup", "events_gap_percentiles",
+    "fn_regexp_extract_report", "agg_bitmap_distinct",
+    "llm_cross_source_overlap", "source_schema_evolution",
+    "llm_exact_dedup", "llm_jaccard_neardup", "llm_cosine_topk",
+    "llm_tfidf_topterms", "llm_text_stats", "llm_multimodal_join",
+    "llm_quality_filter", "llm_train_test_split",
+    # 26 r6 rows
+    "sql_lateral_topk", "fn_lambda_surface", "fn_map_surface",
+    "events_anomaly_mad", "win_running_distinct", "dq_constraint_report",
+    "profile_table_stats", "llm_mixture_epochs", "set_intersect_all",
+    "llm_chat_template", "stream_tws_counter", "sql_recursive_hierarchy",
+    "agg_countmin_sketch", "ts_seasonal_decompose", "fn_url_parse",
+    "agg_hll_sketch_mergeable", "fn_try_arith", "llm_edit_distance_dedup",
+    "agg_weighted_median", "sql_pivot_surface", "sql_unpivot_surface",
+    "agg_string_agg_ordered", "sql_group_by_all", "source_xml_roundtrip",
+    "sink_codec_audit", "events_attribution_linear",
 ]
 
 
-def test_round11_correctness_window():
-    """Round-11 window pin (steady-state policy, engine/__init__):
-    _R11_CHANGED is empty, so the whole 50-slot window MUST be the
-    stalest oracled rows by (latest CORRECTNESS_r*.json round,
-    registration order) — pinned against the LITERAL above, not against
-    a re-run of the same function that computed it. Also asserts the
-    history files themselves are structurally sound (exactly 50 known
-    qids each), so a corrupted or truncated report is caught here
-    rather than silently reshaping the window (ADVICE r8 items 4-5)."""
+def test_round12_correctness_window():
+    """Round-12 window pin (steady-state policy, engine/__init__):
+    _R12_CHANGED is exactly [llm_embedding_neardup] (changed-code
+    priority, slot 0), so the remaining 49 slots MUST be the stalest
+    oracled rows by (latest CORRECTNESS_r*.json round, registration
+    order) — pinned against the LITERAL above, not against a re-run of
+    the same function that computed it. Also asserts the history files
+    themselves are structurally sound (exactly 50 known qids each), so
+    a corrupted or truncated report is caught here rather than silently
+    reshaping the window (ADVICE r8 items 4-5)."""
     import glob
     import json
     import os
     import re
 
     ids = list(engine.QUERIES)
-    assert engine._R11_CHANGED == [], (
-        "an r11 code change must be declared in the commit message and "
-        "crowd the fill explicitly, not slip in silently"
+    assert engine._R12_CHANGED == ["llm_embedding_neardup"], (
+        "the r12 changed-code list is exactly the op whose corpus stage "
+        "moved worker-side; any other change must be declared here "
+        "explicitly, not slip in silently"
     )
-    fill = ids[len(engine._R11_CHANGED):50]
+    assert ids[: len(engine._R12_CHANGED)] == engine._R12_CHANGED, (
+        "changed-code ops must hold the first window slots"
+    )
+    fill = ids[len(engine._R12_CHANGED):50]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     # Structural soundness of the history the recycler read: every
@@ -537,18 +544,18 @@ def test_round11_correctness_window():
         )
         unknown = [q for q in rows if q not in engine.QUERIES]
         assert not unknown, f"{p}: unregistered qids {unknown}"
-    assert rounds_seen[:10] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10], (
-        "a pre-r11 driver report went missing — the recycler window "
+    assert rounds_seen[:11] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11], (
+        "a pre-r12 driver report went missing — the recycler window "
         "would silently reshape"
     )
 
-    if max(rounds_seen) == 10:
-        # This round's exact snapshot (history = r1-r10): the fill must
+    if max(rounds_seen) == 11:
+        # This round's exact snapshot (history = r1-r11): the fill must
         # be the literal stale-tail drain above.
-        assert fill == _R11_FILL, (
-            "oldest-row recycling fill drifted from the pinned r11 fill"
+        assert fill == _R12_FILL, (
+            "oldest-row recycling fill drifted from the pinned r12 fill"
         )
-    # Policy invariants hold in every round (once CORRECTNESS_r11+
+    # Policy invariants hold in every round (once CORRECTNESS_r12+
     # lands, the fill legitimately rotates to the next-oldest tail):
     assert len(ids[:50]) == 50 and len(set(ids[:50])) == 50
     for qid in fill:
@@ -556,9 +563,8 @@ def test_round11_correctness_window():
         # it past the driver's weaker rows-only tier)
         assert qid in engine.ORACLES, f"{qid}: rows-only op in fill slot"
     assert fill == engine._stale_fill(
-        engine._R11_CHANGED, 50 - len(engine._R11_CHANGED)
+        engine._R12_CHANGED, 50 - len(engine._R12_CHANGED)
     ), "window fill does not match the declared stale-fill policy"
-
 
 def test_no_untested_op_registers_past_window():
     """Window-budget assertion (VERDICT r4 item 6): a refactor must never
