@@ -141,10 +141,32 @@ def main() -> None:
         print(f"unknown query id(s): {unknown}", file=sys.stderr)
         print(f"known ids: {sorted(engine.QUERIES)}", file=sys.stderr)
         sys.exit(2)
-    # Pre-existing host contention, sampled BEFORE any work starts:
-    # by end-of-run the bench's own load dominates the 1-min figure, so
-    # the start sample is the one that diagnoses a contaminated run
-    # (the BENCH_r10 failure mode — foreign sweeps sharing the host).
+    # Bounded wait-for-quiet (VERDICT r11 item 4): the r10/r11 artifacts
+    # were taken on a loaded host (loadavg_start 4-16) and needed
+    # off-artifact re-measurement to adjudicate. The driver's bench run
+    # is outside scripts/close_round.sh's sequencing, so the gate record
+    # is made clean AT THE SOURCE: sleep until 1-min load drops under
+    # SPARK_GRAFT_QUIET_LOAD (default 2.0) or SPARK_GRAFT_QUIET_MAX_WAIT
+    # (default 600 s) elapses, and record the wait in the artifact. A
+    # still-loaded start after the full wait remains self-diagnosing via
+    # loadavg_start, exactly as before.
+    quiet_load = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_MAX_WAIT", "600"))
+    quiet_wait = 0.0
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1, max_wait = 0.0, 0.0
+    while load1 > quiet_load and quiet_wait < max_wait:
+        time.sleep(10)
+        quiet_wait += 10
+        load1 = os.getloadavg()[0]
+
+    # Pre-existing host contention, sampled BEFORE any work starts
+    # (i.e. after the quiet wait above): by end-of-run the bench's own
+    # load dominates the 1-min figure, so the start sample is the one
+    # that diagnoses a contaminated run (the BENCH_r10 failure mode —
+    # foreign sweeps sharing the host).
     try:
         loadavg_start = [round(x, 2) for x in os.getloadavg()]
     except OSError:
@@ -194,6 +216,7 @@ def main() -> None:
         "loadavg_start": loadavg_start,
         "loadavg_end": loadavg_end,
         "cpus": cpus,
+        "quiet_wait_sec": round(quiet_wait),
     }
     # Full per-query detail first (the documented contract line) ...
     print(json.dumps(full))
@@ -213,6 +236,7 @@ def main() -> None:
         "loadavg_start": loadavg_start,
         "loadavg_end": loadavg_end,
         "cpus": cpus,
+        "quiet_wait_sec": round(quiet_wait),
     }
     for qid, sec in slowest:
         summary["queries"][qid] = sec
