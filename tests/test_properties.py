@@ -170,6 +170,115 @@ def test_embedding_banded_pairs_subset_of_exact(spark):
         assert v == exact[k]
 
 
+def test_embedding_neardup_has_no_driver_stage():
+    """VERDICT r11 item 1 regression pin: the exact broadcast-witness
+    path must have NO driver-side corpus stage — the r9-r11 perf tax
+    came from a toPandas() + sparkContext.broadcast pair that degraded
+    with accumulated JVM heap. The corpus now travels worker-side
+    (engine/scale_ops.py::_neardup_corpus); if either driver construct
+    reappears in this op's body, fail here with the history attached
+    rather than rediscovering it from bench drift."""
+    import inspect
+
+    import engine.scale_ops as so
+
+    body = inspect.getsource(so.llm_embedding_neardup)
+    for banned in ("toPandas", "sparkContext.broadcast", ".collect("):
+        assert banned not in body, (
+            f"llm_embedding_neardup regained a driver-side stage "
+            f"({banned}) — see VERDICT r11 wrong #1 (in-bench 1.29s -> "
+            "6.8s heap-sensitivity tax)"
+        )
+
+
+def test_neardup_corpus_cache_and_shapes(tmp_path):
+    """Worker-side corpus reader unit properties: (1) (path, mtime,
+    size)-keyed cache — a rewritten file is re-read, not served stale;
+    (2) the flattened-reshape decode reproduces the list<float> rows
+    exactly; (3) ragged embedding rows fail LOUDLY (reshape ValueError)
+    instead of silently mis-pairing values."""
+    import os
+    import time as _time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.scale_ops import _NEARDUP_CORPUS, _neardup_corpus
+
+    p = str(tmp_path / "embeddings.parquet")
+
+    def write(vals):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        list(range(len(vals))), type=pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        vals, type=pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            p,
+        )
+
+    write([[1.0, 2.0], [3.0, 4.0]])
+    ids, mat, sq = _neardup_corpus(p)
+    assert ids.tolist() == [0, 1]
+    assert mat.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+    assert sq.tolist() == [5.0, 25.0]
+
+    # Same stat triple -> cache hit (identity, no re-read).
+    assert _neardup_corpus(p)[1] is mat
+
+    # Rewrite with different values; bump mtime explicitly in case the
+    # filesystem's mtime granularity would otherwise alias the key.
+    write([[9.0, 9.0], [1.0, 1.0]])
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    ids2, mat2, _ = _neardup_corpus(p)
+    assert mat2.tolist() == [[9.0, 9.0], [1.0, 1.0]]
+    assert len(_NEARDUP_CORPUS) == 1, "stale corpus entry not evicted"
+
+    # Ragged rows: reshape must raise, never mis-pair.
+    write([[1.0, 2.0], [3.0]])
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 2_000_000))
+    try:
+        _neardup_corpus(p)
+        assert False, "ragged embedding rows must fail loudly"
+    except ValueError:
+        pass
+
+
+def test_embedding_neardup_reads_spark_written_corpus_dir(spark, tmp_path):
+    """The worker-side reader must accept a Spark-WRITTEN corpus — a
+    directory of part files plus _SUCCESS — not just the driver's
+    single-file fixtures: the row-order/skew twin sweeps materialize
+    shuffled fixture copies through DataFrame writes. Same pair set as
+    the original fixture (row order is immaterial: pairs key on ids)."""
+    import engine
+    from engine.session import load
+
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path)
+    emb = load(spark, src, "embeddings")
+    # repartition(3): multi-part directory, the twin fixtures' shape
+    emb.repartition(3).write.mode("overwrite").parquet(
+        f"{sf}/embeddings.parquet"
+    )
+    got = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in engine.QUERIES["llm_embedding_neardup"](spark, sf).collect()
+    }
+    want = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in engine.QUERIES["llm_embedding_neardup"](spark, src).collect()
+    }
+    assert got == want
+
+
 @given(
     edge_list=st.lists(
         st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=15
