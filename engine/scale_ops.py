@@ -436,10 +436,14 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact from shared storage, no driver hop) and each Arrow batch
     computes a (batch × corpus) numpy dot-product block, emitting only
     over-threshold pairs — no shuffle, no quadratic materialization, and
-    since VERDICT r11 §wrong #1 **no driver-side stage at all**: the
-    former ``toPandas()`` + ``sparkContext.broadcast`` corpus pickle
-    degraded with accumulated JVM heap (in-bench 1.29 s → 6.8 s across
-    r9→r11 with zero code change) while the standalone pin stayed green.
+    since VERDICT r11 §wrong #1 **no driver-side stage at all** (the
+    former ``toPandas()`` + ``sparkContext.broadcast`` corpus pickle is
+    gone). The r9-r11 in-bench swing this op was blamed for (1.29 s →
+    6.8 s with zero code change) turned out NOT to be that stage: r12
+    in-worker instrumentation traced it to numpy's MADV_HUGEPAGE on the
+    block's fresh 32 MB arrays — THP direct-compaction stalls under
+    memory fragmentation, fixed session-wide in
+    :func:`engine.session.get_spark` (NUMPY_MADVISE_HUGEPAGE=0).
     Beyond the budget the query switches to
     :func:`_embedding_neardup_banded` (hyperplane-banded candidate join
     + exact cosine verify), so no corpus size ever forces a full-table

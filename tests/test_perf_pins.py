@@ -1,14 +1,20 @@
 """Quiet-host performance pins (VERDICT r10 item 6, r11 item 1).
 
-`llm_embedding_neardup` WAS the one registry spot sensitive to JVM heap
-pressure: through r11 its exact block-matmul witness had a driver-side
-toPandas + sparkContext.broadcast corpus stage that degraded with
-accumulated heap (in-bench 1.29 s r9 → 6.8 s r11, zero code change)
-while this standalone pin stayed green — i.e. the pin measured the
-wrong context (VERDICT r11 §wrong #1). r12 removed the driver stage
-entirely (the corpus side is now read worker-side from the source
-parquet, engine/scale_ops.py::_neardup_corpus), and this module keeps
-BOTH guards so a future regression is visible in either context:
+`llm_embedding_neardup` WAS the registry's one in-bench swing op
+(in-bench 1.29 s r9 → 6.8 s r11 with zero code change, while this
+standalone pin stayed green). r12 found the TRUE root cause by
+in-worker instrumentation: not JVM heap and not the (since removed)
+driver-side toPandas+broadcast stage, but numpy's MADV_HUGEPAGE on
+≥4 MB arrays — under THP=madvise, first-touch faults on the op's
+fresh 32 MB blocks enter multi-second kernel direct compaction once
+session churn fragments physical memory (measured: 4.8-7.8 s of pure
+stime per elementwise op post-churn, 0.02 s on arena reuse). Fixed at
+the session layer: engine/session.py::get_spark sets
+NUMPY_MADVISE_HUGEPAGE=0 before the JVM launches (workers inherit it;
+executorEnv twin for real clusters). Post-fix the op reads
+0.44-0.62 s after every churn combination that previously triggered
+4.7-15.8 s. This module keeps BOTH guards so a regression of either
+mechanism is visible:
 
   * the original standalone bound (test_embedding_neardup_quiet_host_
     bound), and
