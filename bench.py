@@ -27,6 +27,72 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def reset_process_memos() -> None:
+    """Clear driver-process memo caches between bench passes (VERDICT r12
+    item 1). Memoized ops must pay their real cost in EVERY pass, or a
+    REPS>=2 median books a cache-hit time no single-rep driver artifact
+    can reproduce (llm_dedup_clusters: 0.054 s memo-warm vs ~9-13 s cold
+    — the gap that manufactured r12's phantom 24 s regression). Clears
+    the CC-labels memo shared by llm_dedup_clusters/llm_dedup_survivors
+    and the driver-side twin of the worker corpus cache (the worker-side
+    copies key on file stats and are the storage-layer analogue of
+    broadcast warmth — every pass pays the same per-worker read pattern
+    a single-rep artifact does, so no clearing is needed there)."""
+    import engine.pipeline_ops
+    import engine.scale_ops
+
+    engine.pipeline_ops._LABELS_MEMO.clear()
+    engine.scale_ops._NEARDUP_CORPUS.clear()
+
+
+def wait_for_quiet(
+    quiet_load: float,
+    max_wait: float,
+    loadavg=os.getloadavg,
+    sleep=time.sleep,
+) -> float:
+    """Sleep until the host is quiet or ``max_wait`` elapses; returns the
+    seconds waited (recorded in the artifact as ``quiet_wait_sec``).
+
+    The gate tests BOTH the 1-min AND the 5-min averages (VERDICT r12
+    item 3): BENCH_r12 started at loadavg [1.98, 3.05, 2.99] — the 1-min
+    figure dipped under 2.0 for one sample while the host was still
+    demonstrably busy, and the artifact read 321 s vs the idle-host
+    241 s. The 5-min average can't be gamed by a momentary dip, and a
+    recently-busy-but-now-idle host still clears it within the 600 s
+    budget (load5 decays with a 5-min time constant once work stops). A
+    still-loaded start after the full wait stays self-diagnosing via
+    loadavg_start, exactly as before."""
+    quiet_wait = 0.0
+    try:
+        load1, load5 = loadavg()[:2]
+    except OSError:
+        return 0.0
+    while max(load1, load5) > quiet_load and quiet_wait < max_wait:
+        sleep(10)
+        quiet_wait += 10
+        load1, load5 = loadavg()[:2]
+    return quiet_wait
+
+
+def run_passes(
+    spark, sf_dir: str, ids: list[str], reps: int
+) -> dict[str, list[float]]:
+    """The timing loop: ``reps`` whole interleaved passes over ``ids``,
+    with process-local memos cleared at the top of every pass so each
+    pass measures the same cold-memo work a single-rep run does.
+    Factored out of main() so tests can pin the reset-per-pass contract
+    directly (monkeypatching ``bench.reset_process_memos``)."""
+    samples: dict[str, list[float]] = {q: [] for q in ids}
+    for _ in range(reps):
+        reset_process_memos()
+        for qid in ids:
+            t0 = time.perf_counter()
+            force(engine.QUERIES[qid](spark, sf_dir))
+            samples[qid].append(time.perf_counter() - t0)
+    return samples
+
+
 def warmup(spark, sf_dir: str) -> None:
     """Steady-state warmup (untimed): JVM JIT + codegen compiler, parquet
     footer cache, shuffle machinery, and the Python worker pools all have
@@ -111,6 +177,70 @@ def warmup(spark, sf_dir: str) -> None:
             "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
             "SELECT n + 1 FROM t WHERE n < 3) SELECT SUM(n) FROM t"
         ).collect()
+        # First use of the Python DataSource API (spark.dataSource
+        # .register + a custom read AND a custom write) initializes its
+        # own plan/exec machinery — a first-use cost the five UDF eval
+        # types above do NOT cover (VERDICT r12 item 2: measured 19.6 s /
+        # 17.5 s cold vs 0.62 s / 1.59 s warm for source/sink_python_
+        # datasource — the pair distorted two consecutive driver
+        # artifacts). A 2-row source + a 2-row sink warm both paths.
+        from pyspark.sql.datasource import (
+            DataSource,
+            DataSourceReader,
+            DataSourceWriter,
+            InputPartition,
+            WriterCommitMessage,
+        )
+
+        class _WarmSource(DataSource):
+            @classmethod
+            def name(cls):
+                return "bench_warm_src"
+
+            def schema(self):
+                return "x bigint"
+
+            def reader(self, schema):
+                class R(DataSourceReader):
+                    def partitions(self):
+                        # 8 splits = the real op's task fan-out, so the
+                        # datasource-read Python workers all spin here
+                        return [InputPartition(i) for i in range(8)]
+
+                    def read(self, p):
+                        yield (p.value,)
+
+                return R()
+
+        sink_dir = f"{scratch}/pyds_sink"
+        os.makedirs(sink_dir, exist_ok=True)
+
+        class _WarmSink(DataSource):
+            @classmethod
+            def name(cls):
+                return "bench_warm_sink"
+
+            def writer(self, schema, overwrite):
+                class Wr(DataSourceWriter):
+                    def write(self, it):
+                        p = os.path.join(sink_dir, f"{os.getpid()}.txt")
+                        with open(p, "a") as f:
+                            for row in it:
+                                f.write(f"{row[0]}\n")
+                        return WriterCommitMessage()
+
+                return Wr()
+
+        spark.dataSource.register(_WarmSource)
+        spark.dataSource.register(_WarmSink)
+        force(spark.read.format("bench_warm_src").load())
+        (
+            two.repartition(4)
+            .write.format("bench_warm_sink")
+            .mode("append")
+            .save()
+        )
+
         # First saveAsTable initializes the session-catalog + table
         # commit machinery (~2-4 s observed) — one-time cost otherwise
         # charged to join_bucketed_colocated's scratch database.
@@ -152,15 +282,7 @@ def main() -> None:
     # loadavg_start, exactly as before.
     quiet_load = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_MAX_WAIT", "600"))
-    quiet_wait = 0.0
-    try:
-        load1 = os.getloadavg()[0]
-    except OSError:
-        load1, max_wait = 0.0, 0.0
-    while load1 > quiet_load and quiet_wait < max_wait:
-        time.sleep(10)
-        quiet_wait += 10
-        load1 = os.getloadavg()[0]
+    quiet_wait = wait_for_quiet(quiet_load, max_wait)
 
     # Pre-existing host contention, sampled BEFORE any work starts
     # (i.e. after the quiet wait above): by end-of-run the bench's own
@@ -182,12 +304,7 @@ def main() -> None:
     # shared evenly.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     ids = [q for q in sorted(engine.QUERIES) if not only or q in only]
-    samples: dict[str, list[float]] = {q: [] for q in ids}
-    for _ in range(reps):
-        for qid in ids:
-            t0 = time.perf_counter()
-            force(engine.QUERIES[qid](spark, sf_dir))
-            samples[qid].append(time.perf_counter() - t0)
+    samples = run_passes(spark, sf_dir, ids, reps)
     timings: dict[str, float] = {
         q: round(sorted(s)[len(s) // 2], 3) for q, s in samples.items()
     }
