@@ -11,7 +11,18 @@ Importing this package populates the query/oracle registry (see
 ``engine.registry``); ``__spark_entry__.py`` is a thin shim over it.
 """
 
-from engine import registry as registry  # noqa: F401
+import os as _os
+
+# Disable numpy's MADV_HUGEPAGE BEFORE any operator module imports numpy
+# (numpy reads this env var once, at import). engine/session.py sets the
+# same default inside get_spark() — early enough for every forked Python
+# worker, but by then the DRIVER's numpy is already imported via these
+# module imports, so driver-side numpy blocks kept MADV_HUGEPAGE and
+# stayed exposed to the THP direct-compaction stalls the flag exists to
+# prevent (ADVICE r12; full forensics in engine/session.py).
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
+from engine import registry as registry  # noqa: F401,E402
 
 # Importing the operator modules registers their queries/oracles.
 #

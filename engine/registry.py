@@ -63,6 +63,10 @@ def query(
         wrapped.__doc__ = fn.__doc__
         wrapped.__module__ = fn.__module__  # lets tests audit the
         # registration window by module (tests/test_plans.py)
+        wrapped.__wrapped__ = fn  # lets inspect.unwrap reach the REAL
+        # operator body — source-scanning pins (e.g. the no-driver-stage
+        # pin on llm_embedding_neardup) would otherwise silently inspect
+        # this 2-line wrapper and pass vacuously (ADVICE r12)
         if qid in QUERIES:
             raise ValueError(f"duplicate query id: {qid}")
         QUERIES[qid] = wrapped

@@ -384,8 +384,26 @@ def _neardup_corpus(path: str):
     """
     import os as _os
 
-    st = _os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
+    if _os.path.isdir(path):
+        # Spark-written corpus: a DIRECTORY of part files. The
+        # directory's own mtime/size do NOT change when a part file's
+        # content is rewritten in place, so a long-lived reused worker
+        # keyed on the dir stat could silently serve a stale corpus
+        # (ADVICE r12). Key on the contained data files instead: any
+        # rewrite, add, or remove of a part changes the tuple.
+        key = (
+            path,
+            tuple(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in sorted(
+                    _os.scandir(path), key=lambda e: e.name
+                )
+                if e.is_file() and not e.name.startswith((".", "_"))
+            ),
+        )
+    else:
+        st = _os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
     hit = _NEARDUP_CORPUS.get(key)
     if hit is None:
         import pyarrow.parquet as pq

@@ -53,6 +53,10 @@ def get_spark(
     # conf below carries the same flag to real-cluster executors, where
     # THP-compaction stalls in Python workers are a known production
     # failure mode; hosts that reserve hugepages can override.
+    # (engine/__init__ sets the same default BEFORE the operator-module
+    # imports pull in numpy, so the DRIVER's numpy honors it too —
+    # ADVICE r12; this setdefault stays as the belt for callers that
+    # somehow reach get_spark without importing the package first.)
     os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:

@@ -68,13 +68,17 @@ pin_ok=0
 for attempt in 1 2 3 4 5 6; do
   echo "=== perf-pins attempt $attempt start $(date +%T) load=$(cut -d' ' -f1 /proc/loadavg) ===" >> "$LOG"
   t0=$SECONDS
-  env ENGINE_PERF_PINS=1 python -m pytest tests/test_perf_pins.py -q \
+  env ENGINE_PERF_PINS=1 python -m pytest tests/test_perf_pins.py -q -rs \
     > "$pins_out" 2>&1
   st=$?
   cat "$pins_out" >> "$LOG"
   echo "=== perf-pins attempt $attempt done rc=$st wall=$((SECONDS - t0))s ===" >> "$LOG"
   if [ $st -ne 0 ]; then rc=1; pin_ok=1; break; fi   # a real FAIL: report it
-  if ! grep -q "skipped" "$pins_out"; then pin_ok=1; break; fi
+  # Only the BUSY-skip means "pin never measured" — match its specific
+  # reason (-rs prints it), not the word "skipped": a future env-gated
+  # test skipping for an unrelated reason must not burn the 6 retries
+  # and fail a fully-measured close (ADVICE r12).
+  if ! grep -q "host busy" "$pins_out"; then pin_ok=1; break; fi
   echo "perf-pins: skipped (host busy) — waiting 60s for load decay" >> "$LOG"
   sleep 60
 done

@@ -177,14 +177,44 @@ def test_embedding_neardup_has_no_driver_stage():
     with accumulated JVM heap. The corpus now travels worker-side
     (engine/scale_ops.py::_neardup_corpus); if either driver construct
     reappears in this op's body, fail here with the history attached
-    rather than rediscovering it from bench drift."""
+    rather than rediscovering it from bench drift.
+
+    ADVICE r12 (medium): the original pin scanned
+    ``inspect.getsource(so.llm_embedding_neardup)`` — but that module
+    attribute is the registry's generic 2-line ``wrapped`` closure, so
+    the scan passed vacuously no matter what the operator body did. Now
+    the registry sets ``__wrapped__`` and this pin (a) asserts the
+    unwrap actually reaches a DIFFERENT function, then (b) scans only
+    the ast-unparsed STATEMENTS of the real body — the docstring (which
+    legitimately narrates the banned constructs' history) and comments
+    never false-trip, and a reintroduced driver stage cannot hide."""
+    import ast
     import inspect
 
     import engine.scale_ops as so
 
-    body = inspect.getsource(so.llm_embedding_neardup)
+    fn = inspect.unwrap(so.llm_embedding_neardup)
+    assert fn is not so.llm_embedding_neardup, (
+        "registry wrapper lost __wrapped__ — this pin would be "
+        "scanning the 2-line registry closure and passing vacuously "
+        "(ADVICE r12)"
+    )
+    fdef = ast.parse(inspect.getsource(fn)).body[0]
+    assert isinstance(fdef, ast.FunctionDef)
+    stmts = fdef.body
+    if (
+        stmts
+        and isinstance(stmts[0], ast.Expr)
+        and isinstance(stmts[0].value, ast.Constant)
+        and isinstance(stmts[0].value.value, str)
+    ):
+        stmts = stmts[1:]  # the docstring narrates the removed stage
+    code = "\n".join(ast.unparse(s) for s in stmts)
+    assert "mapInPandas" in code, (
+        "sanity: the scan no longer sees the real operator body"
+    )
     for banned in ("toPandas", "sparkContext.broadcast", ".collect("):
-        assert banned not in body, (
+        assert banned not in code, (
             f"llm_embedding_neardup regained a driver-side stage "
             f"({banned}) — see VERDICT r11 wrong #1 (in-bench 1.29s -> "
             "6.8s heap-sensitivity tax)"
@@ -250,6 +280,60 @@ def test_neardup_corpus_cache_and_shapes(tmp_path):
         assert False, "ragged embedding rows must fail loudly"
     except ValueError:
         pass
+
+
+def test_neardup_corpus_dir_key_sees_inplace_part_rewrite(tmp_path):
+    """ADVICE r12 (low): when the corpus path is a DIRECTORY of part
+    files, rewriting a part's CONTENT in place leaves the directory's
+    own mtime/size untouched — a dir-stat cache key would serve the
+    stale corpus forever in a reused worker. The key must derive from
+    the contained data files' (name, mtime, size), so the rewrite
+    invalidates; _SUCCESS/hidden markers stay out of the key."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.scale_ops import _NEARDUP_CORPUS, _neardup_corpus
+
+    d = tmp_path / "embeddings.parquet"
+    d.mkdir()
+    part = str(d / "part-00000.parquet")
+    (d / "_SUCCESS").write_text("")
+
+    def write(vals):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        list(range(len(vals))), type=pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        vals, type=pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            part,
+        )
+
+    write([[1.0, 2.0], [3.0, 4.0]])
+    _, mat, _ = _neardup_corpus(str(d))
+    assert mat.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+    assert _neardup_corpus(str(d))[1] is mat, "same content: cache hit"
+
+    # In-place content rewrite: dir stat is unchanged, file stat isn't.
+    dir_stat = os.stat(d)
+    write([[9.0, 9.0], [1.0, 1.0]])
+    st = os.stat(part)
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    os.utime(  # freeze the dir stat to the advice's exact scenario
+        d, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns)
+    )
+    _, mat2, _ = _neardup_corpus(str(d))
+    assert mat2.tolist() == [[9.0, 9.0], [1.0, 1.0]], (
+        "stale corpus served after an in-place part rewrite"
+    )
+    assert len(_NEARDUP_CORPUS) == 1, "stale dir-corpus entry not evicted"
 
 
 def test_embedding_neardup_reads_spark_written_corpus_dir(spark, tmp_path):
