@@ -48,6 +48,7 @@ from engine import seeds24 as seeds24  # noqa: F401
 from engine import seeds25 as seeds25  # noqa: F401
 from engine import seeds26 as seeds26  # noqa: F401
 from engine import seeds27 as seeds27  # noqa: F401
+from engine import seeds28 as seeds28  # noqa: F401
 
 # Proven families (green in a prior round) register after the backlog;
 # promote() below makes the exact order past position 50 irrelevant to
@@ -110,23 +111,36 @@ registry.resolve_oracles()
 #      rotates the next-oldest tail into the following round's window —
 #      future rounds only maintain list (1).
 #
-# tests/test_plans.py::test_round12_correctness_window pins the resulting
+# tests/test_plans.py::test_round13_correctness_window pins the resulting
 # window for this round, so any drift (a lost correctness file, a
 # registration reorder) fails at test time, not silently at driver time.
 # ---------------------------------------------------------------------------
 
-# Round-12 changed-code priority list (VERDICT r11 items 1+3):
-# llm_embedding_neardup's implementation changed this round — the
-# driver-side toPandas + sparkContext.broadcast corpus stage was
-# replaced by a worker-side parquet read (engine/scale_ops.py::
-# _neardup_corpus) to kill the heap-sensitivity tax the r11 verdict
-# flagged — so it takes the first window slot and its fresh driver
-# hash row lands the same round the code ships. The remaining 49
-# slots recycle mechanically: the 23 remaining oracled r5 rows (the
-# other two r5-tier rows, agg_hll_drift and agg_percentile_drift, are
-# rows-only by design and never recycled) + the 26 oldest r6 rows.
-# Post-r12 oracled staleness floor = r6.
-_R12_CHANGED: list[str] = ["llm_embedding_neardup"]
+# Round-13 changed-code priority list (VERDICT r12 item 5):
+# emb_banded_recall is NEW this round — the recall evaluator for the
+# banded embedding near-dup path (engine/seeds28.py), previously the
+# one approximate path with only a soundness pin and no measured miss
+# rate — so it takes the first window slot and its first driver hash
+# row lands the same round the code ships. llm_embedding_neardup joins
+# it because its >2M-vector scale path (_embedding_neardup_banded)
+# changed this round: the 128 per-plane zip_with folds became one numpy
+# matmul per Arrow batch (~20× faster) — the registered fixture-scale
+# result never takes that path, but the policy pins ANY implementation
+# change to a fresh driver row. llm_dedup_clusters and
+# llm_dedup_survivors join because connected_components (the CC core
+# both ride via the dedup_labels memo) folded its per-round convergence
+# count into the checkpoint materialization as an observe metric — one
+# action per round instead of two (VERDICT r12 item 7). (The round's
+# other changes — bench methodology, registry __wrapped__, the corpus
+# cache key — touch no registered query's RESULT.) The remaining 46
+# slots recycle mechanically: the 16 remaining oracled r6 rows + the 30
+# oldest r7 rows. Post-r13 oracled staleness floor = r7.
+_R13_CHANGED: list[str] = [
+    "emb_banded_recall",
+    "llm_embedding_neardup",
+    "llm_dedup_clusters",
+    "llm_dedup_survivors",
+]
 
 _WINDOW_SIZE = 50
 
@@ -183,10 +197,10 @@ def _stale_fill(priority: list[str], n: int) -> list[str]:
     return candidates[:n]
 
 
-_R12_WINDOW = _R12_CHANGED + _stale_fill(
-    _R12_CHANGED, _WINDOW_SIZE - len(_R12_CHANGED)
+_R13_WINDOW = _R13_CHANGED + _stale_fill(
+    _R13_CHANGED, _WINDOW_SIZE - len(_R13_CHANGED)
 )
-registry.promote(_R12_WINDOW)
+registry.promote(_R13_WINDOW)
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

@@ -29,7 +29,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -298,6 +298,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     localCheckpoint (on a cluster: checkpoint to the checkpoint dir).
     Runs to a true fixpoint (break on zero changed labels), not a fixed
     round count.
+
+    ONE action per round (VERDICT r12 item 7): the pre-round label is
+    carried through the plan as ``old``, the changed-label count rides
+    the checkpoint materialization as an ``observe`` metric (Spark's
+    CollectMetrics — fires on the same job, verified: Observation.get
+    resolves immediately after the eager localCheckpoint), so the old
+    second action — a labels⋈labels join + count per round — is gone.
     """
     labels = nodes.select(
         "u", F.col("u").alias("label")
@@ -318,6 +325,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             labels.join(neighbor_min, "u", "left")
             .select(
                 "u",
+                F.col("label").alias("old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
@@ -333,20 +341,25 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             )
             .select(
                 "u",
+                "old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("ll"), F.col("label"))
                 ).alias("label"),
             )
         )
-        new_labels = halved.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        obs = Observation()
+        new_labels = (
+            halved.observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("old")).cast("long")
+                ).alias("changed"),
+            )
+            .select("u", "label")
+            .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if changed == 0:
+        if not (obs.get["changed"] or 0):  # None on an empty frame
             break
     return labels
 

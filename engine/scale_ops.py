@@ -308,39 +308,54 @@ def _embedding_neardup_banded(emb: DataFrame, dim: int) -> DataFrame:
     is N/2^bits (heavily clustered corpora should salt or sub-band the
     hot buckets — same skew playbook as join_skew_salted). Approximate
     recall is the documented contract of the scale path (as with
-    llm_lsh_neardup); the broadcast path below remains the exact
-    witness at fixture scale.
+    llm_lsh_neardup), MEASURED by the oracled emb_banded_recall
+    evaluator (engine/seeds28.py: recall ≈ 1 in the designed
+    high-similarity regime, ≈ 0 on near-threshold organic pairs); the
+    broadcast path below remains the exact witness at fixture scale.
 
-    The 128 hyperplane dots per vector are declarative higher-order
-    folds here; a production run at the 2M-vector gate should compute
-    the sign matrix as ONE numpy (batch × dim)·(dim × 128) matmul in
-    mapInPandas (the broadcast path's pattern) — same values, one
-    Arrow pass.
+    The 128 hyperplane dots per vector are ONE numpy
+    (batch × dim)·(dim × 128) matmul per Arrow batch in mapInPandas
+    (the broadcast path's pattern) — the same values the previous
+    128 declarative zip_with folds computed, ~20× faster (measured
+    17.8 s → sub-second on a 500-vector eval corpus) because the fold
+    expressions re-materialized a 64-struct zipped array per plane per
+    row. Summation order differs from a sequential fold only in the
+    last ulp; a sign flip would need |dot| ≈ 1e-13 on O(1)-magnitude
+    dots — the same tolerance every mirrored-oracle dot here already
+    rides on (llm_ann_lsh precedent).
     """
-    sign = [
-        F.when(_hyperplane_dot(k, dim) > 0, 1).otherwise(0)
-        for k in range(NEARDUP_BANDS * NEARDUP_BITS)
-    ]
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    (
-                        sign[b * NEARDUP_BITS + i] * (1 << i)
-                        for i in range(NEARDUP_BITS)
-                    ),
-                    start=F.lit(0),
-                )
-                .cast("long")
-                .alias("bv"),
-            )
-            for b in range(NEARDUP_BANDS)
-        ]
+    planes = NEARDUP_BANDS * NEARDUP_BITS
+    plane_mat = np.array(
+        [[_plane_weight(k, d) for d in range(dim)] for k in range(planes)],
+        dtype=np.float64,
     )
-    bands = emb.select(
-        "vec_id", F.explode(band_structs).alias("s")
-    ).select("vec_id", "s.band", "s.bv")
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = mat @ plane_mat.T > 0  # (n × planes) sign matrix
+            bv = np.zeros((len(ids), NEARDUP_BANDS), dtype=np.int64)
+            for b in range(NEARDUP_BANDS):
+                seg = bits[:, b * NEARDUP_BITS : (b + 1) * NEARDUP_BITS]
+                bv[:, b] = (
+                    seg.astype(np.int64) << np.arange(NEARDUP_BITS)
+                ).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, NEARDUP_BANDS),
+                    "band": np.tile(
+                        np.arange(NEARDUP_BANDS, dtype=np.int32), len(ids)
+                    ),
+                    "bv": bv.reshape(-1),
+                }
+            )
+
+    bands = emb.select("vec_id", "embedding").mapInPandas(
+        sig, schema="vec_id long, band int, bv long"
+    )
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

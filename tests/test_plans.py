@@ -464,49 +464,52 @@ def test_exact_witness_absolute_caps_pushed(spark):
     assert "JACCARD_WITNESS_MAX_ID" in body
 
 
-# The fill literal for the round-12 pin: _R12_CHANGED is exactly
-# ["llm_embedding_neardup"] (its driver-side corpus stage was replaced
-# by a worker-side parquet read this round — VERDICT r11 item 1), so it
-# takes slot 0 and the other 49 slots recycle the stalest oracled rows
-# under the r1-r11 history — the 23 remaining oracled r5 rows (the two
-# other r5-tier rows, agg_hll_drift and agg_percentile_drift, are
-# rows-only by design and never fill-recycled), then the 26 oldest r6
-# rows, in (latest-round, registration-order) order. Pinned literally so
-# a damaged/lost correctness file or a registration reorder CHANGES the
+# The fill literal for the round-13 pin: _R13_CHANGED is exactly
+# [emb_banded_recall, llm_embedding_neardup, llm_dedup_clusters,
+# llm_dedup_survivors] — the NEW banded-recall evaluator (VERDICT r12
+# item 5), the op whose >2M-vector scale path was rewritten from 128
+# zip_with folds to one numpy matmul per Arrow batch, and the two CC
+# riders whose connected_components core folded its convergence count
+# into the checkpoint as an observe metric (one action per round,
+# VERDICT r12 item 7) — so they take slots 0-3 and the other 46 slots
+# recycle the stalest oracled rows under the r1-r12 history: the 16
+# remaining oracled r6 rows, then the 30 oldest r7 rows, in
+# (latest-round, registration-order) order. Pinned literally so a
+# damaged/lost correctness file or a registration reorder CHANGES the
 # computed fill and fails against this list, instead of the test
 # silently agreeing with whatever the import computed (ADVICE r8
-# item 5). Post-r12 oracled staleness floor = r6.
-_R12_FILL = [
-    # 23 r5 rows
-    "events_hourly_profile", "agg_corr_matrix", "join_interval_overlap",
-    "llm_decontaminate_lsh", "set_except_all", "events_cooccurrence",
-    "win_weighted_ma", "merge_scd2_versions", "events_path_topk",
-    "llm_containment_neardup", "events_gap_percentiles",
-    "fn_regexp_extract_report", "agg_bitmap_distinct",
-    "llm_cross_source_overlap", "source_schema_evolution",
-    "llm_exact_dedup", "llm_jaccard_neardup", "llm_cosine_topk",
-    "llm_tfidf_topterms", "llm_text_stats", "llm_multimodal_join",
-    "llm_quality_filter", "llm_train_test_split",
-    # 26 r6 rows
-    "sql_lateral_topk", "fn_lambda_surface", "fn_map_surface",
-    "events_anomaly_mad", "win_running_distinct", "dq_constraint_report",
-    "profile_table_stats", "llm_mixture_epochs", "set_intersect_all",
-    "llm_chat_template", "stream_tws_counter", "sql_recursive_hierarchy",
-    "agg_countmin_sketch", "ts_seasonal_decompose", "fn_url_parse",
-    "agg_hll_sketch_mergeable", "fn_try_arith", "llm_edit_distance_dedup",
-    "agg_weighted_median", "sql_pivot_surface", "sql_unpivot_surface",
-    "agg_string_agg_ordered", "sql_group_by_all", "source_xml_roundtrip",
-    "sink_codec_audit", "events_attribution_linear",
+# item 5). Post-r13 oracled staleness floor = r7.
+_R13_FILL = [
+    "llm_prefix_cluster", "agg_regr_family", "agg_median_mode_syntax",
+    "fn_aes_roundtrip", "sql_natural_join", "udf_arrow_scalar",
+    "agg_histogram_2d", "ts_autocorr", "ts_cusum_change",
+    "agg_benford_audit", "agg_gini_concentration",
+    "events_survival_curve", "agg_equidepth_histogram",
+    "maint_analyze_stats", "fn_haversine_distance", "llm_dedup_recall",
+    "fn_variant_surface", "sql_named_parameters", "df_observe_metrics",
+    "maint_cache_table", "fn_csv_parse", "ts_peak_days",
+    "llm_survivor_policy_longest", "agg_grouping_id_surface",
+    "fn_inline_stack", "sql_distribute_sort_by",
+    "source_partitioned_read_prune", "events_new_vs_returning",
+    "events_dau_wau", "agg_filter_clause_syntax", "sql_named_window",
+    "agg_geomean", "events_wilson_alert", "llm_curriculum_stages",
+    "win_quantile_normalize", "llm_length_ks_audit",
+    "udf_apply_in_arrow", "df_transpose_surface",
+    "sql_lateral_view_explode", "fn_explode_outer",
+    "source_python_datasource", "sink_python_datasource",
+    "llm_chunk_roundtrip", "graph_pagerank_integer",
+    "sink_zorder_layout", "llm_simhash_recall",
 ]
 
 
-def test_round12_correctness_window():
-    """Round-12 window pin (steady-state policy, engine/__init__):
-    _R12_CHANGED is exactly [llm_embedding_neardup] (changed-code
-    priority, slot 0), so the remaining 49 slots MUST be the stalest
-    oracled rows by (latest CORRECTNESS_r*.json round, registration
-    order) — pinned against the LITERAL above, not against a re-run of
-    the same function that computed it. Also asserts the history files
+def test_round13_correctness_window():
+    """Round-13 window pin (steady-state policy, engine/__init__):
+    _R13_CHANGED is exactly [emb_banded_recall, llm_embedding_neardup,
+    llm_dedup_clusters, llm_dedup_survivors] (changed-code priority,
+    slots 0-3), so the remaining 46 slots MUST be the stalest oracled
+    rows by (latest CORRECTNESS_r*.json round, registration order) —
+    pinned against the LITERAL above, not against a re-run of the same
+    function that computed it. Also asserts the history files
     themselves are structurally sound (exactly 50 known qids each), so
     a corrupted or truncated report is caught here rather than silently
     reshaping the window (ADVICE r8 items 4-5)."""
@@ -516,15 +519,22 @@ def test_round12_correctness_window():
     import re
 
     ids = list(engine.QUERIES)
-    assert engine._R12_CHANGED == ["llm_embedding_neardup"], (
-        "the r12 changed-code list is exactly the op whose corpus stage "
-        "moved worker-side; any other change must be declared here "
-        "explicitly, not slip in silently"
+    assert engine._R13_CHANGED == [
+        "emb_banded_recall",
+        "llm_embedding_neardup",
+        "llm_dedup_clusters",
+        "llm_dedup_survivors",
+    ], (
+        "the r13 changed-code list is exactly the new banded-recall "
+        "evaluator, the op whose banded scale path was rewritten, and "
+        "the two CC riders of the observe-metric convergence fold; any "
+        "other change must be declared here explicitly, not slip in "
+        "silently"
     )
-    assert ids[: len(engine._R12_CHANGED)] == engine._R12_CHANGED, (
+    assert ids[: len(engine._R13_CHANGED)] == engine._R13_CHANGED, (
         "changed-code ops must hold the first window slots"
     )
-    fill = ids[len(engine._R12_CHANGED):50]
+    fill = ids[len(engine._R13_CHANGED):50]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     # Structural soundness of the history the recycler read: every
@@ -544,18 +554,18 @@ def test_round12_correctness_window():
         )
         unknown = [q for q in rows if q not in engine.QUERIES]
         assert not unknown, f"{p}: unregistered qids {unknown}"
-    assert rounds_seen[:11] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11], (
-        "a pre-r12 driver report went missing — the recycler window "
+    assert rounds_seen[:12] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12], (
+        "a pre-r13 driver report went missing — the recycler window "
         "would silently reshape"
     )
 
-    if max(rounds_seen) == 11:
-        # This round's exact snapshot (history = r1-r11): the fill must
+    if max(rounds_seen) == 12:
+        # This round's exact snapshot (history = r1-r12): the fill must
         # be the literal stale-tail drain above.
-        assert fill == _R12_FILL, (
-            "oldest-row recycling fill drifted from the pinned r12 fill"
+        assert fill == _R13_FILL, (
+            "oldest-row recycling fill drifted from the pinned r13 fill"
         )
-    # Policy invariants hold in every round (once CORRECTNESS_r12+
+    # Policy invariants hold in every round (once CORRECTNESS_r13+
     # lands, the fill legitimately rotates to the next-oldest tail):
     assert len(ids[:50]) == 50 and len(set(ids[:50])) == 50
     for qid in fill:
@@ -563,7 +573,7 @@ def test_round12_correctness_window():
         # it past the driver's weaker rows-only tier)
         assert qid in engine.ORACLES, f"{qid}: rows-only op in fill slot"
     assert fill == engine._stale_fill(
-        engine._R12_CHANGED, 50 - len(engine._R12_CHANGED)
+        engine._R13_CHANGED, 50 - len(engine._R13_CHANGED)
     ), "window fill does not match the declared stale-fill policy"
 
 def test_no_untested_op_registers_past_window():
