@@ -34,6 +34,7 @@ _EMBEDDING_QIDS = [
     "llm_ann_range",
     "llm_ann_recall",
     "llm_embedding_neardup",
+    "emb_banded_recall",
     "llm_semdedup",
     "llm_kmeans",
     "emb_quantize_audit",
@@ -112,6 +113,11 @@ _NAN_SEMANTICS_QIDS = {
     # emb_quantize_audit MEASURES quantization error of the poisoned
     # values themselves — engine-defined on nonfinite input.
     "emb_quantize_audit",
+    # emb_banded_recall compares, thresholds, AND sign-buckets the
+    # poisoned cosines/hyperplane dots on both sides of its evaluation
+    # (numpy: NaN ≥ t false; DuckDB: NaN greater-than-everything) —
+    # the same engine-defined family as llm_embedding_neardup above.
+    "emb_banded_recall",
     # (mm_embedding_centroids left the list in r7: its quantization is
     # now try_cast on both engines, so nonfinite components drop out of
     # the exact integer sums identically.)

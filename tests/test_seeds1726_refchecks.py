@@ -142,6 +142,22 @@ def test_winsorize_clip_matches_python(spark, rows):
         assert g_raw == pytest.approx(
             _round_half_up(sum(cents) / len(cents), 4), abs=1e-6
         )
-        assert g_wins == pytest.approx(
-            _round_half_up(sum(winsorized) / len(winsorized), 4), abs=1e-6
-        )
+        # The op (and its DuckDB oracle — both use the identical
+        # decomposed form Σ(in-band c) + n_lo·lo + n_hi·hi) can differ
+        # from this model's SEQUENTIAL float sum by one ulp; when the
+        # winsorized mean lands EXACTLY on a .5·10⁻⁴ rounding boundary
+        # (hypothesis found cents [661,124,0,126,169,124,480,124]:
+        # mean 225.50125), that ulp legitimately decides the 4th digit.
+        # Engine↔oracle stay aligned (same expression form); only this
+        # python refcheck must accept either side of the boundary.
+        wmean = sum(winsorized) / len(winsorized)
+        scaled = wmean * 10**4
+        if abs(scaled - math.floor(scaled) - 0.5) < 1e-6:
+            assert g_wins in (
+                pytest.approx(math.floor(scaled) / 10**4, abs=1e-9),
+                pytest.approx((math.floor(scaled) + 1) / 10**4, abs=1e-9),
+            )
+        else:
+            assert g_wins == pytest.approx(
+                _round_half_up(wmean, 4), abs=1e-6
+            )
