@@ -50,28 +50,40 @@ def wait_for_quiet(
     max_wait: float,
     loadavg=os.getloadavg,
     sleep=time.sleep,
+    quiet_load15: float = 2.5,
 ) -> float:
     """Sleep until the host is quiet or ``max_wait`` elapses; returns the
     seconds waited (recorded in the artifact as ``quiet_wait_sec``).
 
-    The gate tests BOTH the 1-min AND the 5-min averages (VERDICT r12
-    item 3): BENCH_r12 started at loadavg [1.98, 3.05, 2.99] — the 1-min
-    figure dipped under 2.0 for one sample while the host was still
-    demonstrably busy, and the artifact read 321 s vs the idle-host
-    241 s. The 5-min average can't be gamed by a momentary dip, and a
-    recently-busy-but-now-idle host still clears it within the 600 s
-    budget (load5 decays with a 5-min time constant once work stops). A
+    The gate tests the 1-min AND 5-min averages against ``quiet_load``
+    (VERDICT r12 item 3) AND the 15-min average against ``quiet_load15``
+    (VERDICT r13 item 1): BENCH_r13 started the instant load5 dipped to
+    1.95 — a hair under 2.0 — while load15 still read 2.85, and the
+    artifact came out 1.66× the idle-host number. The 15-min average is
+    the slowest-decaying contamination signal; a genuinely
+    recently-freed host still clears 2.5 within the 600 s budget, while
+    a host that was busy for the last quarter hour does not. A
     still-loaded start after the full wait stays self-diagnosing via
     loadavg_start, exactly as before."""
     quiet_wait = 0.0
+
+    def busy() -> bool:
+        load1, load5, load15 = loadavg()[:3]
+        return max(load1, load5) > quiet_load or load15 > quiet_load15
+
     try:
-        load1, load5 = loadavg()[:2]
+        still_busy = busy()
     except OSError:
         return 0.0
-    while max(load1, load5) > quiet_load and quiet_wait < max_wait:
+    while still_busy and quiet_wait < max_wait:
         sleep(10)
         quiet_wait += 10
-        load1, load5 = loadavg()[:2]
+        try:
+            still_busy = busy()
+        except OSError:
+            # Transient getloadavg failure mid-wait: degrade to the
+            # no-gate path rather than crashing the bench (ADVICE r13).
+            return quiet_wait
     return quiet_wait
 
 
@@ -281,8 +293,9 @@ def main() -> None:
     # still-loaded start after the full wait remains self-diagnosing via
     # loadavg_start, exactly as before.
     quiet_load = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
+    quiet_load15 = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD15", "2.5"))
     max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_MAX_WAIT", "600"))
-    quiet_wait = wait_for_quiet(quiet_load, max_wait)
+    quiet_wait = wait_for_quiet(quiet_load, max_wait, quiet_load15=quiet_load15)
 
     # Pre-existing host contention, sampled BEFORE any work starts
     # (i.e. after the quiet wait above): by end-of-run the bench's own
@@ -297,12 +310,16 @@ def main() -> None:
     spark = get_spark(app_name="engine-bench")
     warmup(spark, sf_dir)
 
-    # Median-of-N per query (SPARK_GRAFT_BENCH_REPS, default 1): this
+    # Median-of-N per query (SPARK_GRAFT_BENCH_REPS, default 3): this
     # host swings 1.5-2× run-to-run (BASELINE.md), so medians are the
-    # stable signal when a regression needs confirming. Reps interleave
-    # whole passes (not back-to-back per query) so cache-warmth bias is
-    # shared evenly.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    # stable signal. The default moved 1 → 3 in r14 (VERDICT r13 item 1):
+    # memo-clearing at the top of every pass makes each rep equivalent to
+    # a cold single-rep, so the driver's unattended artifact becomes a
+    # median at ~3× wall cost — which the quiet-wait budget already
+    # dwarfs — instead of a one-shot sample at the mercy of host noise.
+    # Reps interleave whole passes (not back-to-back per query) so
+    # cache-warmth bias is shared evenly.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     ids = [q for q in sorted(engine.QUERIES) if not only or q in only]
     samples = run_passes(spark, sf_dir, ids, reps)
     timings: dict[str, float] = {
@@ -334,6 +351,7 @@ def main() -> None:
         "loadavg_end": loadavg_end,
         "cpus": cpus,
         "quiet_wait_sec": round(quiet_wait),
+        "reps": reps,
     }
     # Full per-query detail first (the documented contract line) ...
     print(json.dumps(full))
@@ -354,6 +372,7 @@ def main() -> None:
         "loadavg_end": loadavg_end,
         "cpus": cpus,
         "quiet_wait_sec": round(quiet_wait),
+        "reps": reps,
     }
     for qid, sec in slowest:
         summary["queries"][qid] = sec

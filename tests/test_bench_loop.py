@@ -18,9 +18,10 @@ Pure unit tests — no SparkSession, no timing, safe under any host load.
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 import engine  # noqa: E402
@@ -83,6 +84,53 @@ def test_quiet_gate_rejects_momentary_one_minute_dip():
     )
     assert waited == 20, "gate exited on the momentary 1-min dip"
     assert len(slept) == 2
+
+
+def test_quiet_gate_rejects_r13_contamination_shape():
+    """The exact BENCH_r13 contamination shape (VERDICT r13 item 1):
+    load5 dips to 1.95 — a hair under the 2.0 bound — while load15 still
+    reads 2.85. The r13 gate exited here and the artifact came out 1.66×
+    the idle number; the 15-min bound must now hold the gate closed."""
+    seq = iter(
+        [
+            (0.16, 1.95, 2.85),  # the r13 start sample: must NOT pass
+            (0.40, 1.60, 2.70),
+            (0.50, 1.40, 2.45),
+        ]
+    )
+    slept: list[float] = []
+    waited = bench.wait_for_quiet(
+        2.0, 600, loadavg=lambda: next(seq), sleep=slept.append
+    )
+    assert waited == 20, "gate exited while load15 was still above bound"
+    assert len(slept) == 2
+
+
+def test_quiet_gate_degrades_on_midwait_loadavg_failure():
+    """A transient getloadavg failure mid-wait must degrade to the
+    no-gate path (returning the wait so far), not crash the bench
+    (ADVICE r13)."""
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError("transient")
+        return (9.0, 9.0, 9.0)
+
+    waited = bench.wait_for_quiet(2.0, 600, loadavg=flaky, sleep=lambda s: None)
+    assert waited == 10
+
+
+def test_bench_reps_default_is_three():
+    """VERDICT r13 item 1 'Done' bar: the driver's unattended artifact is
+    a median-of-3 by default now that memo-clearing makes every rep pay
+    the same cold cost a single-rep run does. Pin the default by reading
+    the same env knob main() reads, with the env unset."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert 'os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")' in src
 
 
 def test_quiet_gate_passes_genuinely_idle_host_immediately():
