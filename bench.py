@@ -40,9 +40,15 @@ def reset_process_memos() -> None:
     a single-rep artifact does, so no clearing is needed there)."""
     import engine.pipeline_ops
     import engine.scale_ops
+    import engine.session
 
     engine.pipeline_ops._LABELS_MEMO.clear()
     engine.scale_ops._NEARDUP_CORPUS.clear()
+    # Metadata, not results — but cleared per pass anyway so every rep
+    # pays the same first-load schema-inference cost a fresh single-rep
+    # process does (the r12 comparability principle, applied to the r14
+    # schema catalog).
+    engine.session._SCHEMA_CATALOG.clear()
 
 
 def wait_for_quiet(

@@ -44,35 +44,51 @@ def _minhash_sig(tok: DataFrame) -> DataFrame:
 
 
 def band_rows(sig: DataFrame) -> DataFrame:
-    """(doc_id, lang, band, bv) rows from a minhash signature frame.
+    """(doc_id, lang, band, bv, abv) rows from a minhash signature frame.
 
     One explode over an array of (band, band-hash) structs — a 4-way
     union here would recompute the signature aggregate per branch; the
     explode computes it once, and identical subplans on the two sides
     of a bucket self-join reuse one shuffle (ReusedExchange). Shared by
     :func:`lsh_neardup_pairs` and the cross-corpus decontamination
-    (engine.seeds6)."""
+    (engine.seeds6).
+
+    ``bv`` is the UNHEX'd md5 — 16 raw bytes instead of a 32-char hex
+    string. unhex is a bijection on canonical md5 output, so binary
+    equality ≡ the oracle's hex-string equality (the mirrored candidate
+    contract is untouched) while join keys and shuffle rows are half
+    the width (optimization guide §2.3, narrower types). ``abv`` packs
+    ALL band hashes per row so a consumer can detect collisions in
+    earlier bands without a second pass (see :func:`lsh_neardup_pairs`'s
+    first-collision-band dedup); consumers that don't need it project
+    it away before any exchange."""
     per_band = N_MINHASH // N_BANDS
+    band_hash = [
+        F.unhex(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        f"h{i:02d}"
+                        for i in range(b * per_band, (b + 1) * per_band)
+                    ],
+                )
+            )
+        )
+        for b in range(N_BANDS)
+    ]
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            f"h{i:02d}"
-                            for i in range(b * per_band, (b + 1) * per_band)
-                        ],
-                    )
-                ).alias("bv"),
-            )
+            F.struct(F.lit(b).alias("band"), band_hash[b].alias("bv"))
             for b in range(N_BANDS)
         ]
     )
     return sig.select(
-        "doc_id", "lang", F.explode(band_structs).alias("s")
-    ).select("doc_id", "lang", "s.band", "s.bv")
+        "doc_id",
+        "lang",
+        F.array(*band_hash).alias("abv"),
+        F.explode(band_structs).alias("s"),
+    ).select("doc_id", "lang", "s.band", "s.bv", "abv")
 
 
 def lsh_sig_bands_ctes(tok_sql: str = _TOK_SQL) -> str:
@@ -189,18 +205,44 @@ def lsh_neardup_pairs(
         tok = tok.localCheckpoint(eager=True)
     bands = band_rows(_minhash_sig(tok))
     a, b_ = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # FIRST-COLLISION-BAND dedup (r14): a pair colliding in k bands used
+    # to be emitted k times and collapsed by a `.distinct()` — at the
+    # fixture's near-dup density that distinct shuffled ~4× the final
+    # 1.6M-pair candidate set just to drop band-duplicates. Each side's
+    # rows carry ALL their band hashes (``abv``, see band_rows), so the
+    # join can keep a pair only in the FIRST band where it collides:
+    # any pair colliding in some band is emitted exactly once (in its
+    # lowest colliding band) and the distinct disappears — the standard
+    # LSH dedup-in-the-join trick. slice(abv, 1, band) is empty at
+    # band 0 (never the descending-sequence trap), so the guard is
+    # vacuously true there. Candidate SET is unchanged — only the
+    # number of times each member is produced.
+    # Statically unrolled guard (no per-row array allocation — a
+    # zip_with/slice/exists spelling of the same predicate measured
+    # SLOWER than the distinct it replaced, because the lambda allocs
+    # ran per raw bucket pair): band 0 has no earlier bands, band b
+    # requires abv[0..b-1] to all differ. N_BANDS is a module constant,
+    # so the CASE chain is a fixed, tiny scalar expression.
+    from functools import reduce as _py_reduce
+
+    no_earlier_collision = F.lit(True)
+    for eb in range(1, N_BANDS):
+        all_differ = _py_reduce(
+            lambda acc, c: acc & c,
+            [F.col("a.abv")[i] != F.col("b.abv")[i] for i in range(eb)],
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+        no_earlier_collision = F.when(
+            F.col("a.band") == eb, all_differ
+        ).otherwise(no_earlier_collision)
+    cand = a.join(
+        b_,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & no_earlier_collision,
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
     # Exact-Jaccard verify on candidates only, via the packed-bitset
     # representation (engine.llm_ops.packed_token_sets) — two broadcast
@@ -231,9 +273,22 @@ def lsh_neardup_pairs(
         F.col("mask").alias("mb"),
         F.col("n_tok").alias("nb"),
     )
+    # SIZE-RATIO PRUNE before the popcount (r14): J(A,B) ≤ min(|A|,|B|) /
+    # max(|A|,|B|), so J ≥ t implies the set sizes agree within factor t —
+    # a two-integer-compare filter that runs BEFORE the O(mask_width)
+    # bitset intersection. The exact_jaccard_pairs witness has always
+    # carried this prune (inside its join condition); the banded path's
+    # hot-bucket candidates are mostly size-mismatched S-curve false
+    # positives, so the prune drops ~26% of the popcount work at sf0.1
+    # (measured) with zero output change — the implication is exact, no
+    # over-threshold pair can be size-pruned.
     inter = (
         cand.join(F.broadcast(pa), "doc_a")
         .join(F.broadcast(pb), "doc_b")
+        .filter(
+            (F.col("na") * threshold <= F.col("nb"))
+            & (F.col("nb") * threshold <= F.col("na"))
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -938,6 +938,11 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the assignment between iterations)."""
     emb = load(spark, sf_dir, "embeddings")
     assign, cent = _lloyd(_lloyd_el(emb), K_KMEANS)
+    # r14 note: an assign-checkpoint + re-issued centroid update (the
+    # llm_ann_ivf truncation) was tried here and MEASURED SLOWER
+    # (1.65 → 1.99 s median-of-3): at K_KMEANS=4 the duplicated subtree
+    # under the final 4-row join is cheaper than an extra materialization
+    # barrier. Left on the shared el checkpoint (_lloyd_el) only.
     n = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
     s = cent.groupBy("cid").agg(F.sum(F.col("cx") * F.col("cx")).alias("ss"))
     return n.join(s, "cid").select(
@@ -1024,18 +1029,32 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     _, centl = _lloyd(_lloyd_el(emb), K_IVF)
     # Reassemble per-dim centroid elements into arrays so the probe/assign
-    # stage stays the same array-cosine broadcast join.
+    # stage stays the same array-cosine broadcast join. The finished
+    # centroid table is {K_IVF} rows — localCheckpoint it (r14) so the
+    # whole unrolled Lloyd lineage runs exactly once and the downstream
+    # probe/assign plan starts from a {K_IVF}-row leaf instead of
+    # re-planning (and partially re-executing) the 2-iteration join
+    # chain under every consumer branch (guide §3.3: materialize tiny
+    # intermediates to truncate a very large plan; the pre-r14 plan had
+    # 152 operators / 60 Exchanges, the truncated one is a small
+    # broadcast-join DAG).
     cent = (
         centl.groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("d", "cx"))).alias("a"))
         .select("cid", F.expr("transform(a, s -> s.cx)").alias("ce"))
+        .localCheckpoint(eager=True)
     )
     sim = cosine(F.col("embedding"), F.col("ce"))
     w_assign = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    # scored is |corpus| × NPROBE-ish rows of scalars — checkpointing it
+    # keeps the window from being recomputed under BOTH the assignment
+    # branch and the probe branch (window results can't ride a
+    # ReusedExchange; the subtree would execute twice).
     scored = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "embedding", "cid", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w_assign))
+        .localCheckpoint(eager=True)
     )
     assign = scored.filter(F.col("rn") == 1).select(
         "vec_id", F.col("embedding").alias("eb"), "cid"

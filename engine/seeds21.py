@@ -98,28 +98,42 @@ def integer_pagerank(
     sets) against a pure-Python reference of the same recurrence —
     shapes the ⌊k/7⌋ fixture taxonomy never produces
     (tests/test_seeds21_refchecks.py)."""
-    ranks = nodes.select(
-        "node", F.lit(PR_SCALE // n_nodes).cast("bigint").alias("r")
-    )
-    dangling = nodes.join(
-        edges.select(F.col("child").alias("node")), "node", "left_anti"
+    # The dangling flag is a static node property — compute it ONCE and
+    # carry it on the rank frame, so each iteration's dangling-mass sum
+    # is a conditional aggregate over ranks instead of a separate
+    # broadcast-anti-join + aggregate job (r14: the loop used to launch
+    # TWO scalar-aggregate broadcast builds per iteration — total mass
+    # and dangling mass — each a full sequential job; fusing them into
+    # one aggregate halves the per-iteration job count, same integer
+    # arithmetic, bit-identical ranks).
+    is_dang = F.col("out_n").isNull()
+    flagged_nodes = nodes.join(
+        edges.select(F.col("child").alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("out_n")),
+        "node",
+        "left",
+    ).select("node", is_dang.alias("dang"))
+    ranks = flagged_nodes.select(
+        "node", F.lit(PR_SCALE // n_nodes).cast("bigint").alias("r"), "dang"
     )
     damp = f"r * {PR_DAMP_NUM} div {PR_DAMP_DEN}"  # truncating, ≡ DuckDB //
     for _ in range(iters):
-        total = ranks.agg(F.sum("r").alias("tot"))
-        teleport = total.select(
-            F.expr(
-                f"tot * {PR_DAMP_DEN - PR_DAMP_NUM} div {PR_DAMP_DEN}"
-                f" div {n_nodes}"
+        shares = (
+            ranks.agg(
+                F.sum("r").alias("tot"),
+                F.coalesce(
+                    F.sum(F.when(F.col("dang"), F.expr(damp))), F.lit(0)
+                ).alias("dm"),
             )
-            .cast("bigint")
-            .alias("tele")
-        )
-        dang_mass = (
-            ranks.join(F.broadcast(dangling), "node")
-            .agg(F.coalesce(F.sum(F.expr(damp)), F.lit(0)).alias("dm"))
             .select(
-                F.expr(f"dm div {n_nodes}").cast("bigint").alias("dshare")
+                F.expr(
+                    f"tot * {PR_DAMP_DEN - PR_DAMP_NUM} div {PR_DAMP_DEN}"
+                    f" div {n_nodes}"
+                )
+                .cast("bigint")
+                .alias("tele"),
+                F.expr(f"dm div {n_nodes}").cast("bigint").alias("dshare"),
             )
         )
         flowed = (
@@ -129,9 +143,8 @@ def integer_pagerank(
             .select(F.col("parent").alias("node"), "inflow")
         )
         ranks = (
-            nodes.join(flowed, "node", "left")
-            .crossJoin(F.broadcast(teleport))
-            .crossJoin(F.broadcast(dang_mass))
+            flagged_nodes.join(flowed, "node", "left")
+            .crossJoin(F.broadcast(shares))
             .select(
                 "node",
                 (
@@ -141,10 +154,11 @@ def integer_pagerank(
                 )
                 .cast("bigint")
                 .alias("r"),
+                "dang",
             )
         )
         ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    return ranks.select("node", "r")
 
 
 @query("graph_pagerank_integer", oracle=_pr_oracle())

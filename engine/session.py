@@ -94,6 +94,36 @@ def get_spark(
     return spark
 
 
+# Session-scoped SCHEMA catalog (metadata only, never data): every
+# `load()` used to run driver-side schema inference — a py4j round-trip
+# plus a parquet footer read — and the bench's 290 queries issue 400+
+# load calls, so ~0.07-0.13 s of pure metadata latency was charged to
+# every query (measured r14; ~15% of the whole bench wall). Any real
+# engine resolves table schemas from a catalog instead of re-reading
+# footers per query; Spark itself caches file listings per session
+# (spark.sql.hive.filesourcePartitionFileCacheSize — optimization guide
+# §6). The key includes the file's (mtime_ns, size) — same invalidation
+# discipline as the worker-side corpus cache (engine.scale_ops)— plus
+# the application id, so a rewritten fixture or a fresh session can
+# never see a stale schema. Execution-side behavior is unchanged: the
+# scan still reads every footer and all data from the parquet inputs on
+# every run (this memo holds a StructType, no rows, no plan fragments).
+_SCHEMA_CATALOG: dict = {}
+
+
+def _table_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+        key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # Directory tables / odd layouts: skip the catalog, infer as before.
+        return spark.read.parquet(path).schema
+    hit = _SCHEMA_CATALOG.get(key)
+    if hit is None:
+        hit = _SCHEMA_CATALOG[key] = spark.read.parquet(path).schema
+    return hit
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (schemas in FIXTURES.md) as a DataFrame.
 
@@ -104,16 +134,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Normalize both to session-zone TimestampType (session tz is UTC, so the
     NTZ→TZ cast is value-preserving and matches DuckDB's naive reading;
     SURVEY.md §1.2).
+
+    The table SCHEMA comes from the session catalog (:data:`_SCHEMA_CATALOG`)
+    so repeated loads don't re-infer it from footers; the reader is built
+    with the explicit schema, which skips driver-side inference but changes
+    nothing about execution (scan, pushdown, and pruning are identical).
     """
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.schema(_table_schema(spark, path)).parquet(path)
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type != "timestamp":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.schema(_table_schema(spark, path)).parquet(path)

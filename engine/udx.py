@@ -155,19 +155,40 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        std = pdf["value"].std(ddof=1)  # NaN for 1-row groups, like STDDEV_SAMP
-        z = _np_round4((pdf["value"] - pdf["value"].mean()) / std)
+        # numpy throughout (r14): the grouped-map surface calls this once
+        # per user group, so per-call pandas overhead multiplies by the
+        # group count. ddof=1 + the explicit n>1 guard reproduces
+        # STDDEV_SAMP exactly (NaN for 1-row groups); NaN rides the
+        # float64 column out and becomes SQL NULL in the JVM projection
+        # below — the old per-group astype(object).where(...) built an
+        # object array per group just to hand Arrow a null mask, the
+        # single biggest per-group cost in this op (measured).
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        valid = v[~np.isnan(v)]  # pandas std/mean skip NaN (SQL semantics)
+        if len(valid) > 1:
+            std = valid.std(ddof=1)
+            z = _np_round4((v - valid.mean()) / std)
+        else:
+            z = np.full(len(v), np.nan)
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
-                "z": z.astype(object).where(z.notna(), None),
+                "z": z,
             }
         )
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    return ev.groupBy("user_id").applyInPandas(
+    out = ev.groupBy("user_id").applyInPandas(
         zscore, schema="event_id long, user_id long, z double"
+    )
+    # NaN → NULL once, vectorized, JVM-side (same contract as before:
+    # every NaN this body can produce — 1-row groups, NULL inputs — was
+    # mapped to None in-Python previously).
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(F.isnan("z"), F.lit(None)).otherwise(F.col("z")).alias("z"),
     )
 
 
