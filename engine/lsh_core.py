@@ -7,6 +7,8 @@ correctness sweep walks registration order; see engine/__init__).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -20,6 +22,16 @@ from engine.llm_ops import (
 )
 
 N_BANDS = 4  # MinHash-LSH: 4 bands × 4 rows over the 16-perm signature
+
+# Hot-bucket gate (r14, VERDICT r13 item 3 / optimization guide §2.4):
+# band buckets with more rows than this are 2-D-salted in the candidate
+# self-join so ONE pathological bucket (a 100 TB crawl with 10⁶
+# byte-identical docs) cannot produce a single quadratic task. The
+# fixture's largest bucket is ~1.1k rows (measured sf0.1), so the
+# default never trips locally and the candidate join degenerates to the
+# unsalted shape (g = 1 everywhere). Env-overridable for production
+# tuning; tests monkeypatch the module attribute to force the gate.
+HOT_BUCKET_ROWS = int(os.environ.get("SPARK_GRAFT_LSH_HOT_ROWS", "4096"))
 
 _TOK_SQL = """
       SELECT DISTINCT doc_id, lang, token FROM (
@@ -179,17 +191,18 @@ def lsh_neardup_pairs(
     char-shingle near-dup queries.
 
     Hot buckets (boilerplate: many byte-identical docs sharing one
-    bucket) make the candidate set quadratic in the group size — but
-    for THIS pairs contract every such candidate is a true duplicate
-    (Jaccard 1.0), so candidates == output and no work is wasted;
-    tests/test_lsh_hotbucket.py pins the clique case end-to-end. The
-    wasteful variant — sub-threshold templated docs colliding in a
-    band — is the S-curve's false-positive mass, bounded by rows-per-
-    band; a production run at 100 TB additionally collapses exact
-    duplicates first (one hash-groupBy, the llm_dedup_pipeline stage
-    ordering) so boilerplate enters banding as one representative, and
-    the linear-output artifact to ship is the clustering/survivor form,
-    not all pairs.
+    bucket) make the candidate set quadratic in the group size — for
+    THIS pairs contract every such candidate is a true duplicate
+    (Jaccard 1.0), so candidates == output and the PAIR COUNT is
+    mandatory; what must not happen is all of them landing in ONE task.
+    The automatic hot-bucket gate below (HOT_BUCKET_ROWS) 2-D-salts any
+    bucket above the bound so per-task pair counts stay bounded while
+    the candidate set is bit-identical; tests/test_lsh_hotbucket.py
+    pins the clique case end-to-end and forces the gate. A production
+    run at 100 TB additionally collapses exact duplicates first (one
+    hash-groupBy, the llm_dedup_pipeline stage ordering) so boilerplate
+    enters banding as one representative, and the linear-output
+    artifact to ship is the clustering/survivor form, not all pairs.
 
     The verify stage packs bitsets for *candidate docs only* (semi-join
     before packed_token_sets): at 100 TB the candidate set is orders of
@@ -203,8 +216,86 @@ def lsh_neardup_pairs(
     localCheckpoint)."""
     if materialize_tok:
         tok = tok.localCheckpoint(eager=True)
-    bands = band_rows(_minhash_sig(tok))
-    a, b_ = bands.alias("a"), bands.alias("b")
+    # The signature table is doc-grain (16 longs + the band hashes) and
+    # is consumed three times below (both self-join sides + the
+    # hot-bucket census) — checkpoint it so the minhash aggregate runs
+    # once, which is also the production shape (persist the signature
+    # table, then band repeatedly). Lazy: the census action below is
+    # the first consumer and materializes it as part of its own job,
+    # saving a separate barrier job.
+    sig = _minhash_sig(tok).localCheckpoint(eager=False)
+    bands = band_rows(sig)
+    # HOT-BUCKET GATE (r14): per-bucket census → buckets above
+    # HOT_BUCKET_ROWS get their self-join 2-D-salted with replication
+    # g = ⌈bn / HOT_BUCKET_ROWS⌉: side a keys on (salt(doc), r), side b
+    # on (r, salt(doc)), r ∈ [0, g), so every in-bucket pair meets in
+    # EXACTLY one of the g² sub-buckets (at salt_a × salt_b) and each
+    # task handles ≤ ~(bn/g)² ≈ HOT_BUCKET_ROWS² pairs instead of bn².
+    # The candidate SET is identical — salting only partitions the pair
+    # space — so driver hashes are unchanged whether or not the gate
+    # trips (the fixture never trips it; tests/test_lsh_hotbucket.py
+    # forces it and pins output identity + the per-task bound).
+    #
+    # The topology switch is a DRIVER-SIDE branch on the census result
+    # (the AQE pattern: plan from runtime statistics). A first, fully
+    # lazy formulation — broadcast-joining the hot list onto every band
+    # row with a per-row explode(sequence(0, g-1)) — measured +56% on
+    # the whole LSH family even with ZERO hot buckets: the two join
+    # sides' subplans stopped being identical, which forfeited the
+    # ReusedExchange, and the always-on explode generator broke the
+    # codegen fusion of the probe side. Branching on the collected
+    # census keeps the not-tripped plan BYTE-IDENTICAL to the unsalted
+    # original (one census job over the checkpointed signature is the
+    # only added cost). The collected list is partition-pruning-style
+    # METADATA (≤ corpus/HOT_BUCKET_ROWS rows — bucket ids, not data).
+    hot_rows = (
+        bands.groupBy("band", "bv", "lang")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") > HOT_BUCKET_ROWS)
+        .select(
+            "band",
+            "bv",
+            "lang",
+            F.ceil(F.col("bn") / F.lit(HOT_BUCKET_ROWS))
+            .cast("int")
+            .alias("g"),
+        )
+        .collect()
+    )
+    if hot_rows:
+        hot = tok.sparkSession.createDataFrame(
+            hot_rows, "band int, bv binary, lang string, g int"
+        )
+        flagged = (
+            bands.join(F.broadcast(hot), ["band", "bv", "lang"], "left")
+            .withColumn("g", F.coalesce(F.col("g"), F.lit(1)))
+            .withColumn("salt", F.pmod(F.hash("doc_id"), F.col("g")))
+        )
+        rep = F.explode(F.sequence(F.lit(0), F.col("g") - 1))
+        a = flagged.select(
+            "doc_id",
+            "lang",
+            "band",
+            "bv",
+            "abv",
+            F.col("salt").alias("s1"),
+            rep.alias("s2"),
+        ).alias("a")
+        b_ = flagged.select(
+            "doc_id",
+            "lang",
+            "band",
+            "bv",
+            "abv",
+            rep.alias("s1"),
+            F.col("salt").alias("s2"),
+        ).alias("b")
+        salt_cond = (F.col("a.s1") == F.col("b.s1")) & (
+            F.col("a.s2") == F.col("b.s2")
+        )
+    else:
+        a, b_ = bands.alias("a"), bands.alias("b")
+        salt_cond = F.lit(True)
     # FIRST-COLLISION-BAND dedup (r14): a pair colliding in k bands used
     # to be emitted k times and collapsed by a `.distinct()` — at the
     # fixture's near-dup density that distinct shuffled ~4× the final
@@ -239,6 +330,7 @@ def lsh_neardup_pairs(
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bv") == F.col("b.bv"))
         & (F.col("a.lang") == F.col("b.lang"))
+        & salt_cond
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & no_earlier_collision,
     ).select(

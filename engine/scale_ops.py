@@ -19,6 +19,7 @@ banding turns all-pairs O(n²) into O(Σ bucket²); no driver-side loops.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import reduce as _py_reduce
 
 import numpy as np
 import pandas as pd
@@ -222,20 +223,38 @@ def simhash_neardup_pairs(sig: DataFrame) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
     ).withColumn("bv", F.expr("shiftright(simhash, b * 8) & 255"))
     a, b_ = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # FIRST-COLLISION-BAND dedup (r14, the lsh_core trick): a pair
+    # within Hamming ≤ 3 collides in up to 4 bands and used to be
+    # emitted once per colliding band, collapsed by a `.distinct()`
+    # shuffle over the candidate set. Both signatures ride the band
+    # rows already, so "no earlier band collides" is pure bit
+    # arithmetic — keep the pair only in its LOWEST colliding band and
+    # the distinct disappears. Candidate SET unchanged (every colliding
+    # pair is still emitted exactly once).
+
+    def _band(side: str, i: int):
+        return F.expr(f"shiftright({side}.simhash, {i * 8}) & 255")
+
+    no_earlier_collision = F.lit(True)
+    for eb in range(1, 4):
+        all_differ = _py_reduce(
+            lambda acc, c: acc & c,
+            [_band("a", i) != _band("b", i) for i in range(eb)],
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()
+        no_earlier_collision = F.when(
+            F.col("a.b") == eb, all_differ
+        ).otherwise(no_earlier_collision)
+    cand = a.join(
+        b_,
+        (F.col("a.b") == F.col("b.b"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & no_earlier_collision,
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.simhash").alias("sim_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("b.simhash").alias("sim_b"),
     )
     hamming = F.expr("bit_count(sim_a ^ sim_b)")
     return cand.filter(hamming <= 3).select(
@@ -405,17 +424,28 @@ def _neardup_corpus(path: str):
         # content is rewritten in place, so a long-lived reused worker
         # keyed on the dir stat could silently serve a stale corpus
         # (ADVICE r12). Key on the contained data files instead: any
-        # rewrite, add, or remove of a part changes the tuple.
-        key = (
-            path,
-            tuple(
-                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                for e in sorted(
-                    _os.scandir(path), key=lambda e: e.name
+        # rewrite, add, or remove of a part changes the tuple. The walk
+        # RECURSES (ADVICE r13): a partitioned/nested layout keeps its
+        # part files inside subdirectories which pq.read_table happily
+        # reads, so a top-level-only scandir would miss the actual data
+        # files and serve a stale corpus one level deeper.
+        files = []
+        for root, dirs, names in sorted(_os.walk(path)):
+            dirs[:] = sorted(
+                d for d in dirs if not d.startswith((".", "_"))
+            )
+            for n in sorted(names):
+                if n.startswith((".", "_")):
+                    continue
+                st = _os.stat(_os.path.join(root, n))
+                files.append(
+                    (
+                        _os.path.relpath(_os.path.join(root, n), path),
+                        st.st_mtime_ns,
+                        st.st_size,
+                    )
                 )
-                if e.is_file() and not e.name.startswith((".", "_"))
-            ),
-        )
+        key = (path, tuple(files))
     else:
         st = _os.stat(path)
         key = (path, st.st_mtime_ns, st.st_size)

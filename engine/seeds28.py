@@ -160,6 +160,17 @@ def emb_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (property-pinned there; the witness cap keeps evaluator work
     CONSTANT at any corpus scale).
 
+    Accepted-tolerance note (ADVICE r13): three independently-ordered
+    float summations feed the same threshold compare — the numpy matmul
+    on the exact side, the JVM aggregate-fold cosine inside the banded
+    verify, and DuckDB's SUM in the oracle — and COSINE_NEARDUP_T sits
+    inside the organic fixture cosine range (up to ~0.44). A pair
+    landing within ~1e-13 of the threshold could flip set membership
+    between the three and hash-mismatch. Measured green at
+    sf0.001/0.01/0.1 (no fixture pair lands near the boundary); the
+    same ulp-boundary discipline as the winsorize refcheck applies if a
+    future fixture ever trips it.
+
     Action economy (this evaluator must stay cheap in the bench suite):
     the exact side is one numpy cosine block over the coalesced
     500-vector eval corpus in mapInPandas (the llm_embedding_neardup

@@ -1098,28 +1098,35 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     memorization/contamination screen that catches template farms exact
     dedup misses and near-dup thresholds pass.
 
-    Scale: shingle → min(doc_id) is one map-combined aggregate over
-    the shingle vocabulary; the join back to per-doc shingle rows is
-    vocabulary-keyed (shuffle on token), and the final rollup is
-    doc-keyed — three shuffles, all map-reducible, nothing quadratic;
-    the shingle rows are checkpointed once and feed both sides.
+    Scale: the global first occurrence is a whole-partition window min
+    over the shingle vocabulary key (r14) — ONE token-keyed shuffle of
+    the occurrence rows, then the doc-keyed rollup. The previous shape
+    (checkpoint the shingle rows, groupBy token, join the vocab frame
+    back) paid an extra occurrence-sized materialization plus a second
+    pass over the rows for the same two logical shuffles; the window
+    form consumes the explode exactly once, so no checkpoint is needed
+    either. Nothing quadratic; a boilerplate shingle present in every
+    doc is one (bounded) window partition, not a join blowup.
     """
     from engine.pipeline_ops import char_shingles
 
     d = load(spark, sf_dir, "documents")
-    sh = char_shingles(d).localCheckpoint(eager=True)
-    first = sh.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    sh = char_shingles(d)
+    is_first = F.min("doc_id").over(W.partitionBy("token")) == F.col(
+        "doc_id"
     )
     return (
-        sh.join(first, "token")
+        sh.select("doc_id", "lang", is_first.alias("nv"))
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_shingles"),
-            novel.cast("long").alias("n_novel"),
+            F.sum(F.when(F.col("nv"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
             pround(
-                novel.cast("double") / F.count("*"), 4
+                F.sum(F.when(F.col("nv"), 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                4,
             ).alias("novelty"),
         )
     )

@@ -575,48 +575,79 @@ def llm_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     supersets, and the best (max-containment, min-id tie-break)
     partner.
 
-    Same-lang token-block join over an ABSOLUTE witness population
-    (doc_id < {CONTAIN_WITNESS_MAX_ID} — O(1) as the corpus grows, the
-    VERDICT-r3 gating rule); the full-corpus scale path shares
-    llm_lsh_neardup's banded MinHash candidates, since containment =
-    J·|A∪B|/|A| is a per-pair rescale of the same verify statistics.
-    Ratios are single IEEE divisions of exact integers, so the
-    max/tie-break equality compare is bit-identical across engines.
+    Over an ABSOLUTE witness population (doc_id <
+    {CONTAIN_WITNESS_MAX_ID} — O(1) as the corpus grows, the VERDICT-r3
+    gating rule); the full-corpus scale path shares llm_lsh_neardup's
+    banded MinHash candidates, since containment = J·|A∪B|/|A| is a
+    per-pair rescale of the same verify statistics. Ratios are single
+    IEEE divisions of exact integers, so the max/tie-break equality
+    compare is bit-identical across engines.
+
+    Physical plan (r14): the packed-bitset shape llm_ngram_jaccard
+    already uses — token sets dictionary-encoded into fixed-width
+    bitsets, same-lang doc pairs via a broadcast hash join, |A∩B| as an
+    unrolled popcount in one codegen stage. The previous token-level
+    self-join emitted Σ_token df² rows (a hot boilerplate token alone
+    contributed |witness|² rows) and shuffled them into a (doc_a,
+    doc_b) aggregate; the bitset form caps the pair space at the
+    |witness|² candidate grid and never shuffles occurrence rows.
+    n_common is the identical integer (distinct shared tokens), so
+    every c_ab double — and the max/tie-break equality — is unchanged.
+    The one-sided size prune keeps only nb ≥ t·na − 1 (containment
+    needs n_common ≥ t·na and n_common ≤ nb; the −1 slack
+    over-approximates any fp rounding, so no qualifying pair is ever
+    pruned). nondet_zero pins the popcount to its projection (see
+    engine.llm_ops.nondet_zero — without it the sum lands inside the
+    join condition, evaluated per raw same-lang pair before the prune).
     """
+    from engine.llm_ops import (
+        bitset_intersection,
+        mask_width,
+        nondet_zero,
+        packed_token_sets,
+        tokens,
+    )
+
     d = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < CONTAIN_WITNESS_MAX_ID)
         .select("doc_id", "lang", "text")
     )
-    tok = d.select(
-        "doc_id",
+    packed = packed_token_sets(tokens(d, distinct=True)).localCheckpoint(
+        eager=True
+    )
+    n_words = mask_width(packed)
+    a = packed.select(
+        F.col("doc_id").alias("doc_a"),
         "lang",
-        F.explode(F.split("text", " ")).alias("token"),
-    ).distinct()
-    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    a = tok.select(
-        F.col("doc_id").alias("doc_a"), "lang", "token"
+        F.col("mask").alias("ma"),
+        F.col("n_tok").alias("na"),
     )
-    b = tok.select(
-        F.col("doc_id").alias("doc_b"), "lang", "token"
+    b = packed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("mask").alias("mb"),
+        F.col("n_tok").alias("nb"),
     )
-    inter = (
-        a.join(b, ["lang", "token"])
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    t = CONTAIN_THRESHOLD
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("doc_a") != F.col("doc_b"))
+        & (F.col("nb") >= F.col("na") * t - 1),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "na",
+        (bitset_intersection("ma", "mb", n_words) + nondet_zero()).alias(
+            "n_common"
+        ),
     )
-    cont = (
-        inter.join(
-            sz.select(F.col("doc_id").alias("doc_a"), "n_tok"), "doc_a"
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("n_common") * 1.0 / F.col("n_tok")).alias("c_ab"),
-        )
-        .filter(F.col("c_ab") >= CONTAIN_THRESHOLD)
-    )
+    cont = pairs.select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_common") * 1.0 / F.col("na")).alias("c_ab"),
+    ).filter(F.col("c_ab") >= t)
     best = cont.groupBy("doc_a").agg(
         F.max("c_ab").alias("max_c"), F.count("*").alias("n_sup")
     )

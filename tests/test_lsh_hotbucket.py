@@ -79,3 +79,82 @@ def test_identical_docs_single_survivor_absorbs_all(spark, hotbucket_sf_dir):
     assert by_doc[0] == N_DUP
     assert all(by_doc[i] == 1 for i in DISTINCT_TEXTS)
     assert set(by_doc) == {0, *DISTINCT_TEXTS}
+
+
+def test_hot_bucket_gate_preserves_pairs_and_bounds_tasks(
+    spark, hotbucket_sf_dir, monkeypatch
+):
+    """Force the r14 hot-bucket gate (HOT_BUCKET_ROWS far below the
+    60-doc clique bucket) and pin BOTH properties: the salted join's
+    pair output is bit-identical to the ungated run, and the pair space
+    of the hot bucket is split across g² > 1 sub-buckets with a bounded
+    per-sub-bucket share (no single task handles the whole clique)."""
+    import engine.lsh_core as lc
+    from engine.llm_ops import tokens
+    from engine.session import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, hotbucket_sf_dir, "documents")
+
+    monkeypatch.setattr(lc, "HOT_BUCKET_ROWS", 8)
+    gated = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in lc.lsh_neardup_pairs(
+            tokens(docs, distinct=True), 0.8, materialize_tok=True
+        ).collect()
+    }
+    want = {
+        (a, b): 1.0 for a in range(N_DUP) for b in range(a + 1, N_DUP)
+    }
+    assert gated == want  # output identical with the gate TRIPPED
+
+    # The divert itself: rebuild the salted sides exactly as
+    # lsh_neardup_pairs does and check the per-sub-bucket pair counts.
+    sig = lc._minhash_sig(tokens(docs, distinct=True))
+    bands = lc.band_rows(sig)
+    cnt = bands.groupBy("band", "bv", "lang").agg(
+        F.count("*").alias("bn")
+    )
+    hot = cnt.filter(F.col("bn") > lc.HOT_BUCKET_ROWS).select(
+        "band",
+        "bv",
+        "lang",
+        F.ceil(F.col("bn") / F.lit(lc.HOT_BUCKET_ROWS))
+        .cast("int")
+        .alias("g"),
+    )
+    assert hot.count() > 0  # the clique bucket IS above the bound
+    flagged = (
+        bands.join(F.broadcast(hot), ["band", "bv", "lang"], "left")
+        .withColumn("g", F.coalesce(F.col("g"), F.lit(1)))
+        .withColumn("salt", F.pmod(F.hash("doc_id"), F.col("g")))
+    )
+    rep = F.explode(F.sequence(F.lit(0), F.col("g") - 1))
+    a = flagged.select(
+        "doc_id", "band", "bv", "lang",
+        F.col("salt").alias("s1"), rep.alias("s2"),
+    ).alias("a")
+    b = flagged.select(
+        "doc_id", "band", "bv", "lang",
+        rep.alias("s1"), F.col("salt").alias("s2"),
+    ).alias("b")
+    per_key = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.s1") == F.col("b.s1"))
+            & (F.col("a.s2") == F.col("b.s2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy("a.band", "a.bv", "a.lang", "a.s1", "a.s2")
+        .agg(F.count("*").alias("n_pairs"))
+        .agg(F.max("n_pairs").alias("mx"), F.sum("n_pairs").alias("tot"))
+        .collect()[0]
+    )
+    clique = N_DUP * (N_DUP - 1) // 2
+    assert per_key["tot"] == 4 * clique  # every band keeps every pair
+    # g = ceil(60/8) = 8 → 64 sub-buckets; no one sub-bucket holds more
+    # than a small share of the 1770-pair clique.
+    assert per_key["mx"] < clique / 4
