@@ -753,15 +753,45 @@ def llm_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derives it locally — no join back to documents for the label.
     split = split_col()
     tr = bands.filter(split == "train").select(
-        F.col("doc_id").alias("doc_t"), "lang", "band", "bv"
+        F.col("doc_id").alias("doc_t"),
+        "lang",
+        "band",
+        "bv",
+        F.col("abv").alias("abv_t"),
     )
     ev = bands.filter(split == "eval").select(
-        F.col("doc_id").alias("doc_e"), "lang", "band", "bv"
+        F.col("doc_id").alias("doc_e"),
+        "lang",
+        "band",
+        "bv",
+        F.col("abv").alias("abv_e"),
     )
+    # FIRST-COLLISION-BAND dedup (r14, the lsh_core trick): a (train,
+    # eval) pair colliding in k bands was emitted k times and collapsed
+    # by a `.distinct()` over the candidate set; both sides carry all
+    # their band hashes (abv), so the join keeps a pair only in its
+    # LOWEST colliding band and the distinct disappears. Candidate SET
+    # unchanged.
+    from functools import reduce as _py_reduce
+
+    from engine.lsh_core import N_BANDS
+
+    no_earlier_collision = F.lit(True)
+    for eb in range(1, N_BANDS):
+        all_differ = _py_reduce(
+            lambda acc, c: acc & c,
+            [
+                F.col("abv_t")[i] != F.col("abv_e")[i]
+                for i in range(eb)
+            ],
+        )
+        no_earlier_collision = F.when(
+            F.col("band") == eb, all_differ
+        ).otherwise(no_earlier_collision)
     cand = (
         tr.join(F.broadcast(ev), ["band", "bv", "lang"])
+        .filter(no_earlier_collision)
         .select("doc_t", "doc_e")
-        .distinct()
         .localCheckpoint(eager=True)
     )
     tr_docs = d.filter(split == "train")
@@ -790,9 +820,16 @@ def llm_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac = F.col("n_common").cast("double") / (
             F.col("na") + F.col("nb") - F.col("n_common")
         )
+        # Size-ratio prune before the popcount (r14, same as the
+        # lsh_core verify): J ≥ t ⟹ the set sizes agree within factor
+        # t — exact implication, so no qualifying pair is pruned.
         flagged = (
             cand.join(F.broadcast(pa), "doc_t")
             .join(F.broadcast(pb), "doc_e")
+            .filter(
+                (F.col("na") * DECON_THRESHOLD <= F.col("nb"))
+                & (F.col("nb") * DECON_THRESHOLD <= F.col("na"))
+            )
             .withColumn(
                 "n_common",
                 bitset_intersection("ma", "mb", n_words) + nondet_zero(),
