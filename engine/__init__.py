@@ -111,35 +111,50 @@ registry.resolve_oracles()
 #      rotates the next-oldest tail into the following round's window —
 #      future rounds only maintain list (1).
 #
-# tests/test_plans.py::test_round13_correctness_window pins the resulting
+# tests/test_plans.py::test_round14_correctness_window pins the resulting
 # window for this round, so any drift (a lost correctness file, a
 # registration reorder) fails at test time, not silently at driver time.
 # ---------------------------------------------------------------------------
 
-# Round-13 changed-code priority list (VERDICT r12 item 5):
-# emb_banded_recall is NEW this round — the recall evaluator for the
-# banded embedding near-dup path (engine/seeds28.py), previously the
-# one approximate path with only a soundness pin and no measured miss
-# rate — so it takes the first window slot and its first driver hash
-# row lands the same round the code ships. llm_embedding_neardup joins
-# it because its >2M-vector scale path (_embedding_neardup_banded)
-# changed this round: the 128 per-plane zip_with folds became one numpy
-# matmul per Arrow batch (~20× faster) — the registered fixture-scale
-# result never takes that path, but the policy pins ANY implementation
-# change to a fresh driver row. llm_dedup_clusters and
-# llm_dedup_survivors join because connected_components (the CC core
-# both ride via the dedup_labels memo) folded its per-round convergence
-# count into the checkpoint materialization as an observe metric — one
-# action per round instead of two (VERDICT r12 item 7). (The round's
-# other changes — bench methodology, registry __wrapped__, the corpus
-# cache key — touch no registered query's RESULT.) The remaining 46
-# slots recycle mechanically: the 16 remaining oracled r6 rows + the 30
-# oldest r7 rows. Post-r13 oracled staleness floor = r7.
-_R13_CHANGED: list[str] = [
-    "emb_banded_recall",
-    "llm_embedding_neardup",
+# Round-14 changed-code priority list (optimization round — results
+# identical by construction, but the policy pins ANY implementation
+# change to a fresh driver row). The LSH-core rewrite (binary band
+# keys, first-collision-band dedup, size-ratio prune, hot-bucket gate,
+# signature checkpoint) flows into every query that composes
+# lsh_neardup_pairs: llm_lsh_neardup, llm_ngram_lsh, the two CC riders
+# (llm_dedup_clusters / llm_dedup_survivors via dedup_labels), and
+# llm_dedup_recall. llm_decontaminate_lsh shares band_rows and gained
+# its own first-collision dedup + size prune. simhash_neardup_pairs
+# gained the first-collision dedup (llm_simhash_neardup +
+# llm_simhash_recall). llm_containment_neardup switched to the
+# packed-bitset broadcast shape; llm_ngram_novelty to a window-min;
+# graph_pagerank_integer fused its per-iteration aggregates;
+# llm_ann_ivf truncates the Lloyd lineage with checkpoints;
+# udf_apply_in_pandas moved its group body to numpy with a JVM
+# NaN→NULL projection; llm_embedding_neardup's worker corpus-cache key
+# now walks directories recursively. (The session schema catalog
+# changes every query's metadata path but no plan semantics — listing
+# all 290 would defeat the window; the full differential sweep covered
+# it instead.) The remaining 36 slots recycle mechanically: the 12
+# r7-evidence oracled rows not already in the changed list (4 of the
+# 16 r7 rows — llm_lsh_neardup, llm_ngram_lsh, llm_simhash_neardup,
+# udf_apply_in_pandas — are changed-code rows above) + the 24 oldest
+# r8 rows. Post-r14 oracled staleness floor = r8.
+_R14_CHANGED: list[str] = [
+    "llm_lsh_neardup",
+    "llm_ngram_lsh",
     "llm_dedup_clusters",
     "llm_dedup_survivors",
+    "llm_dedup_recall",
+    "llm_decontaminate_lsh",
+    "llm_simhash_neardup",
+    "llm_simhash_recall",
+    "llm_containment_neardup",
+    "llm_ngram_novelty",
+    "graph_pagerank_integer",
+    "llm_ann_ivf",
+    "udf_apply_in_pandas",
+    "llm_embedding_neardup",
 ]
 
 _WINDOW_SIZE = 50
@@ -197,10 +212,10 @@ def _stale_fill(priority: list[str], n: int) -> list[str]:
     return candidates[:n]
 
 
-_R13_WINDOW = _R13_CHANGED + _stale_fill(
-    _R13_CHANGED, _WINDOW_SIZE - len(_R13_CHANGED)
+_R14_WINDOW = _R14_CHANGED + _stale_fill(
+    _R14_CHANGED, _WINDOW_SIZE - len(_R14_CHANGED)
 )
-registry.promote(_R13_WINDOW)
+registry.promote(_R14_WINDOW)
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

@@ -464,77 +464,81 @@ def test_exact_witness_absolute_caps_pushed(spark):
     assert "JACCARD_WITNESS_MAX_ID" in body
 
 
-# The fill literal for the round-13 pin: _R13_CHANGED is exactly
-# [emb_banded_recall, llm_embedding_neardup, llm_dedup_clusters,
-# llm_dedup_survivors] — the NEW banded-recall evaluator (VERDICT r12
-# item 5), the op whose >2M-vector scale path was rewritten from 128
-# zip_with folds to one numpy matmul per Arrow batch, and the two CC
-# riders whose connected_components core folded its convergence count
-# into the checkpoint as an observe metric (one action per round,
-# VERDICT r12 item 7) — so they take slots 0-3 and the other 46 slots
-# recycle the stalest oracled rows under the r1-r12 history: the 16
-# remaining oracled r6 rows, then the 30 oldest r7 rows, in
-# (latest-round, registration-order) order. Pinned literally so a
-# damaged/lost correctness file or a registration reorder CHANGES the
-# computed fill and fails against this list, instead of the test
-# silently agreeing with whatever the import computed (ADVICE r8
-# item 5). Post-r13 oracled staleness floor = r7.
-_R13_FILL = [
-    "llm_prefix_cluster", "agg_regr_family", "agg_median_mode_syntax",
-    "fn_aes_roundtrip", "sql_natural_join", "udf_arrow_scalar",
-    "agg_histogram_2d", "ts_autocorr", "ts_cusum_change",
-    "agg_benford_audit", "agg_gini_concentration",
-    "events_survival_curve", "agg_equidepth_histogram",
-    "maint_analyze_stats", "fn_haversine_distance", "llm_dedup_recall",
-    "fn_variant_surface", "sql_named_parameters", "df_observe_metrics",
-    "maint_cache_table", "fn_csv_parse", "ts_peak_days",
-    "llm_survivor_policy_longest", "agg_grouping_id_surface",
-    "fn_inline_stack", "sql_distribute_sort_by",
-    "source_partitioned_read_prune", "events_new_vs_returning",
-    "events_dau_wau", "agg_filter_clause_syntax", "sql_named_window",
-    "agg_geomean", "events_wilson_alert", "llm_curriculum_stages",
-    "win_quantile_normalize", "llm_length_ks_audit",
-    "udf_apply_in_arrow", "df_transpose_surface",
-    "sql_lateral_view_explode", "fn_explode_outer",
-    "source_python_datasource", "sink_python_datasource",
-    "llm_chunk_roundtrip", "graph_pagerank_integer",
-    "sink_zorder_layout", "llm_simhash_recall",
+# The fill literal for the round-14 pin: _R14_CHANGED is the 14-query
+# changed-code list of the r14 optimization round (the LSH-core rewrite
+# and its five composing queries, the decontamination's own
+# first-collision dedup, the simhash first-collision pair, the
+# containment bitset rewrite, the novelty window-min, the pagerank
+# aggregate fusion, the IVF lineage truncation, the numpy grouped-map
+# body, and the corpus-cache key walk) — results identical by
+# construction, but the policy pins ANY implementation change to a
+# fresh driver row — so they take slots 0-13 and the other 36 slots
+# recycle the stalest oracled rows under the r1-r13 history: the 12
+# r7-evidence rows not already in the changed list, then the 24 oldest
+# r8 rows, in (latest-round, registration-order) order. Pinned
+# literally so a damaged/lost correctness file or a registration
+# reorder CHANGES the computed fill and fails against this list,
+# instead of the test silently agreeing with whatever the import
+# computed (ADVICE r8 item 5). Post-r14 oracled staleness floor = r8.
+_R14_FILL = [
+    "ts_naive_forecast_eval", "fn_timezone_surface",
+    "fn_datetime_constructors", "llm_langid_confusion",
+    "agg_try_aggregates", "sql_null_ordering",
+    "events_active_streak_max", "mm_label_balance_chi2",
+    "ts_rolling_zscore", "llm_code_fraction", "llm_dedup_pipeline",
+    "llm_fingerprint", "ts_interpolate_linear", "events_ab_welch",
+    "ts_ewma_smooth", "sink_compaction", "events_user_overlap_jaccard",
+    "mm_embedding_centroids", "win_nth_value", "win_pct_change",
+    "llm_zipf_slope", "agg_skew_kurtosis", "win_pareto_days",
+    "llm_minhash_sketch", "mm_audio_features", "q9_product_profit",
+    "win_rolling_median", "ts_gap_fill", "agg_unpivot",
+    "llm_decontaminate", "source_text_roundtrip", "mm_image_features",
+    "mm_image_resize", "scan_parquet", "scan_filter_pushdown",
+    "project_compute",
 ]
 
 
-def test_round13_correctness_window():
-    """Round-13 window pin (steady-state policy, engine/__init__):
-    _R13_CHANGED is exactly [emb_banded_recall, llm_embedding_neardup,
-    llm_dedup_clusters, llm_dedup_survivors] (changed-code priority,
-    slots 0-3), so the remaining 46 slots MUST be the stalest oracled
-    rows by (latest CORRECTNESS_r*.json round, registration order) —
-    pinned against the LITERAL above, not against a re-run of the same
-    function that computed it. Also asserts the history files
-    themselves are structurally sound (exactly 50 known qids each), so
-    a corrupted or truncated report is caught here rather than silently
-    reshaping the window (ADVICE r8 items 4-5)."""
+def test_round14_correctness_window():
+    """Round-14 window pin (steady-state policy, engine/__init__):
+    _R14_CHANGED is exactly the 14 queries whose implementation changed
+    in the r14 optimization round (slots 0-13), so the remaining 36
+    slots MUST be the stalest oracled rows by (latest
+    CORRECTNESS_r*.json round, registration order) — pinned against the
+    LITERAL above, not against a re-run of the same function that
+    computed it. Also asserts the history files themselves are
+    structurally sound (exactly 50 known qids each), so a corrupted or
+    truncated report is caught here rather than silently reshaping the
+    window (ADVICE r8 items 4-5)."""
     import glob
     import json
     import os
     import re
 
     ids = list(engine.QUERIES)
-    assert engine._R13_CHANGED == [
-        "emb_banded_recall",
-        "llm_embedding_neardup",
+    assert engine._R14_CHANGED == [
+        "llm_lsh_neardup",
+        "llm_ngram_lsh",
         "llm_dedup_clusters",
         "llm_dedup_survivors",
+        "llm_dedup_recall",
+        "llm_decontaminate_lsh",
+        "llm_simhash_neardup",
+        "llm_simhash_recall",
+        "llm_containment_neardup",
+        "llm_ngram_novelty",
+        "graph_pagerank_integer",
+        "llm_ann_ivf",
+        "udf_apply_in_pandas",
+        "llm_embedding_neardup",
     ], (
-        "the r13 changed-code list is exactly the new banded-recall "
-        "evaluator, the op whose banded scale path was rewritten, and "
-        "the two CC riders of the observe-metric convergence fold; any "
-        "other change must be declared here explicitly, not slip in "
-        "silently"
+        "the r14 changed-code list is exactly the queries the r14 "
+        "optimization round touched; any other change must be declared "
+        "here explicitly, not slip in silently"
     )
-    assert ids[: len(engine._R13_CHANGED)] == engine._R13_CHANGED, (
+    assert ids[: len(engine._R14_CHANGED)] == engine._R14_CHANGED, (
         "changed-code ops must hold the first window slots"
     )
-    fill = ids[len(engine._R13_CHANGED):50]
+    fill = ids[len(engine._R14_CHANGED):50]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     # Structural soundness of the history the recycler read: every
@@ -554,18 +558,18 @@ def test_round13_correctness_window():
         )
         unknown = [q for q in rows if q not in engine.QUERIES]
         assert not unknown, f"{p}: unregistered qids {unknown}"
-    assert rounds_seen[:12] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12], (
-        "a pre-r13 driver report went missing — the recycler window "
+    assert rounds_seen[:13] == list(range(1, 14)), (
+        "a pre-r14 driver report went missing — the recycler window "
         "would silently reshape"
     )
 
-    if max(rounds_seen) == 12:
-        # This round's exact snapshot (history = r1-r12): the fill must
+    if max(rounds_seen) == 13:
+        # This round's exact snapshot (history = r1-r13): the fill must
         # be the literal stale-tail drain above.
-        assert fill == _R13_FILL, (
-            "oldest-row recycling fill drifted from the pinned r13 fill"
+        assert fill == _R14_FILL, (
+            "oldest-row recycling fill drifted from the pinned r14 fill"
         )
-    # Policy invariants hold in every round (once CORRECTNESS_r13+
+    # Policy invariants hold in every round (once CORRECTNESS_r14+
     # lands, the fill legitimately rotates to the next-oldest tail):
     assert len(ids[:50]) == 50 and len(set(ids[:50])) == 50
     for qid in fill:
@@ -573,7 +577,7 @@ def test_round13_correctness_window():
         # it past the driver's weaker rows-only tier)
         assert qid in engine.ORACLES, f"{qid}: rows-only op in fill slot"
     assert fill == engine._stale_fill(
-        engine._R13_CHANGED, 50 - len(engine._R13_CHANGED)
+        engine._R14_CHANGED, 50 - len(engine._R14_CHANGED)
     ), "window fill does not match the declared stale-fill policy"
 
 def test_no_untested_op_registers_past_window():
