@@ -430,11 +430,14 @@ def _neardup_corpus(path: str):
         # reads, so a top-level-only scandir would miss the actual data
         # files and serve a stale corpus one level deeper.
         files = []
-        for root, dirs, names in sorted(_os.walk(path)):
-            dirs[:] = sorted(
-                d for d in dirs if not d.startswith((".", "_"))
-            )
-            for n in sorted(names):
+        # NOTE: don't wrap the walk in sorted() — that would exhaust
+        # the generator before the dirs[:] pruning below could stop
+        # descent into hidden/staging directories. Sorting happens once
+        # at the end instead (relpaths are unique, so the key is
+        # deterministic regardless of walk order).
+        for root, dirs, names in _os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for n in names:
                 if n.startswith((".", "_")):
                     continue
                 st = _os.stat(_os.path.join(root, n))
@@ -445,7 +448,7 @@ def _neardup_corpus(path: str):
                         st.st_size,
                     )
                 )
-        key = (path, tuple(files))
+        key = (path, tuple(sorted(files)))
     else:
         st = _os.stat(path)
         key = (path, st.st_mtime_ns, st.st_size)

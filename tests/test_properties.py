@@ -505,3 +505,56 @@ def test_exact_jaccard_pairs_commute_with_input_restriction(spark, docs, cap):
     }
     restricted = pairs(d.filter(F.col("doc_id") < cap))
     assert restricted == full_filtered
+
+
+def test_neardup_corpus_dir_key_sees_nested_part_rewrite(tmp_path):
+    """ADVICE r13 (low): the r12 fix only scanned TOP-LEVEL files, so a
+    nested/partitioned layout (part files inside subdirectories, which
+    pq.read_table happily reads) could still serve a stale corpus after
+    an in-place rewrite one level deeper. The key must walk the tree;
+    hidden/underscore directories stay out of it."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.scale_ops import _neardup_corpus
+
+    d = tmp_path / "embeddings.parquet"
+    sub = d / "bucket=0"
+    sub.mkdir(parents=True)
+    (d / "_SUCCESS").write_text("")
+    part = str(sub / "part-00000.parquet")
+
+    def write(vals):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        list(range(len(vals))), type=pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        vals, type=pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            part,
+        )
+
+    write([[1.0, 2.0], [3.0, 4.0]])
+    _, mat, _ = _neardup_corpus(str(d))
+    assert mat.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+    assert _neardup_corpus(str(d))[1] is mat, "same content: cache hit"
+
+    # In-place rewrite of the NESTED part: neither the corpus dir nor
+    # the subdirectory stat has to change.
+    dir_stat, sub_stat = os.stat(d), os.stat(sub)
+    write([[9.0, 9.0], [1.0, 1.0]])
+    st = os.stat(part)
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    os.utime(d, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
+    os.utime(sub, ns=(sub_stat.st_atime_ns, sub_stat.st_mtime_ns))
+    _, mat2, _ = _neardup_corpus(str(d))
+    assert mat2.tolist() == [[9.0, 9.0], [1.0, 1.0]], (
+        "stale corpus served after a nested in-place part rewrite"
+    )
