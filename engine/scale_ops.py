@@ -313,7 +313,9 @@ NEARDUP_BANDS = 8
 NEARDUP_BITS = 16
 
 
-def _embedding_neardup_banded(emb: DataFrame, dim: int) -> DataFrame:
+def _embedding_neardup_banded(
+    emb: DataFrame, dim: int, hot_gate: bool = True
+) -> DataFrame:
     """Banded-LSH pairing for cosine near-dup — the path taken when the
     corpus exceeds BROADCAST_MAX_VECS and the exact broadcast matmul
     would materialize the whole table on the driver.
@@ -324,13 +326,15 @@ def _embedding_neardup_banded(emb: DataFrame, dim: int) -> DataFrame:
     (band, bucket) / vec_id — no driver materialization, no all-pairs
     join, and the bucket keyspace (2^NEARDUP_BITS per band) keeps the
     self-join quadratic only *within* buckets whose expected occupancy
-    is N/2^bits (heavily clustered corpora should salt or sub-band the
-    hot buckets — same skew playbook as join_skew_salted). Approximate
-    recall is the documented contract of the scale path (as with
-    llm_lsh_neardup), MEASURED by the oracled emb_banded_recall
-    evaluator (engine/seeds28.py: recall ≈ 1 in the designed
-    high-similarity regime, ≈ 0 on near-threshold organic pairs); the
-    broadcast path below remains the exact witness at fixture scale.
+    is N/2^bits; buckets above the shared hot-bucket bound
+    (engine.lsh_core.HOT_BUCKET_ROWS) are 2-D-salted AUTOMATICALLY
+    (r14, same driver-side census branch as the MinHash path — see
+    lsh_core.lsh_neardup_pairs). Approximate recall is the documented
+    contract of the scale path (as with llm_lsh_neardup), MEASURED by
+    the oracled emb_banded_recall evaluator (engine/seeds28.py:
+    recall ≈ 1 in the designed high-similarity regime, ≈ 0 on
+    near-threshold organic pairs); the broadcast path below remains the
+    exact witness at fixture scale.
 
     The 128 hyperplane dots per vector are ONE numpy
     (batch × dim)·(dim × 128) matmul per Arrow batch in mapInPandas
@@ -342,6 +346,25 @@ def _embedding_neardup_banded(emb: DataFrame, dim: int) -> DataFrame:
     last ulp; a sign flip would need |dot| ≈ 1e-13 on O(1)-magnitude
     dots — the same tolerance every mirrored-oracle dot here already
     rides on (llm_ann_lsh precedent).
+
+    r14 shape changes (candidate SET and output provably unchanged —
+    optimization guide §2):
+    - The signature stage emits DOC-grain rows (vec_id, abv[8]) and is
+      localCheckpoint'd: the Python matmul runs ONCE instead of once
+      per self-join side (the broadcast build side of a self-join is
+      not a ReusedExchange, so the un-checkpointed form re-ran
+      mapInPandas twice — visible as two MapInPandas nodes in
+      plans/r14/emb_banded_pipeline_before.txt). Band rows explode
+      in-plan from the checkpoint.
+    - FIRST-COLLISION-BAND dedup replaces the candidate `.distinct()`
+      (the lsh_core trick): each band row carries all its band hashes
+      (abv), so the join keeps a pair only in its lowest colliding band
+      — every colliding pair still emitted exactly once, and the
+      candidate-pair-sized shuffle Exchange disappears from the plan.
+    - The exact-cosine verify is pinned OUT of the join condition with
+      nondet_zero (the llm_ops popcount pattern): before, the fold
+      expression sat in the BroadcastHashJoin condition AND the output
+      projection, evaluating the O(dim) dot twice per surviving pair.
     """
     planes = NEARDUP_BANDS * NEARDUP_BITS
     plane_mat = np.array(
@@ -363,40 +386,130 @@ def _embedding_neardup_banded(emb: DataFrame, dim: int) -> DataFrame:
                     seg.astype(np.int64) << np.arange(NEARDUP_BITS)
                 ).sum(axis=1)
             yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(ids, NEARDUP_BANDS),
-                    "band": np.tile(
-                        np.arange(NEARDUP_BANDS, dtype=np.int32), len(ids)
-                    ),
-                    "bv": bv.reshape(-1),
-                }
+                {"vec_id": ids, "abv": list(bv)}
             )
 
-    bands = emb.select("vec_id", "embedding").mapInPandas(
-        sig, schema="vec_id long, band int, bv long"
+    # Doc-grain signature rows, checkpointed lazily: the census action
+    # below is the first consumer and materializes them as part of its
+    # own job (the lsh_core pattern) — the Python matmul runs once.
+    sigs = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(sig, schema="vec_id long, abv array<long>")
+        .localCheckpoint(eager=False)
     )
-    a, b_ = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    bands = sigs.select(
+        "vec_id", "abv", F.posexplode("abv").alias("band", "bv")
+    )
+    # HOT-BUCKET GATE (r14): the same driver-side census branch as
+    # lsh_core.lsh_neardup_pairs (see the design rationale there — the
+    # lazy always-salted formulation measured +56% with zero hot
+    # buckets). The bound is the SHARED module attribute
+    # lsh_core.HOT_BUCKET_ROWS (env SPARK_GRAFT_LSH_HOT_ROWS), resolved
+    # at call time so tests can monkeypatch it; the fixture's largest
+    # band bucket is the 250-twin planted clique of emb_banded_recall's
+    # eval corpus — far under the 4096 default, so the gate never trips
+    # locally and the not-tripped join plan is byte-identical to the
+    # unsalted form.
+    # ``hot_gate=False`` skips the census (and its one extra job —
+    # measured +0.43 s locally): the gate NEVER changes the candidate
+    # set (salting only partitions the pair space), so a caller whose
+    # input is provably below the bound — emb_banded_recall's
+    # witness-capped ≤ 2·EMB_EVAL_CAP = 500-row eval corpus — can skip
+    # it without any behavior change; the production >2M-vector caller
+    # keeps the default.
+    from engine import lsh_core as _lsh_core
+
+    hot_bound = _lsh_core.HOT_BUCKET_ROWS
+    hot_rows = (
+        (
+            bands.groupBy("band", "bv")
+            .agg(F.count("*").alias("bn"))
+            .filter(F.col("bn") > hot_bound)
+            .select(
+                "band",
+                "bv",
+                F.ceil(F.col("bn") / F.lit(hot_bound))
+                .cast("int")
+                .alias("g"),
+            )
+            .collect()
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+        if hot_gate
+        else []
+    )
+    if hot_rows:
+        hot = emb.sparkSession.createDataFrame(
+            hot_rows, "band int, bv long, g int"
         )
-        .distinct()
+        flagged = (
+            bands.join(F.broadcast(hot), ["band", "bv"], "left")
+            .withColumn("g", F.coalesce(F.col("g"), F.lit(1)))
+            .withColumn("salt", F.pmod(F.hash("vec_id"), F.col("g")))
+        )
+        rep = F.explode(F.sequence(F.lit(0), F.col("g") - 1))
+        a = flagged.select(
+            "vec_id",
+            "band",
+            "bv",
+            "abv",
+            F.col("salt").alias("s1"),
+            rep.alias("s2"),
+        ).alias("a")
+        b_ = flagged.select(
+            "vec_id",
+            "band",
+            "bv",
+            "abv",
+            rep.alias("s1"),
+            F.col("salt").alias("s2"),
+        ).alias("b")
+        salt_cond = (F.col("a.s1") == F.col("b.s1")) & (
+            F.col("a.s2") == F.col("b.s2")
+        )
+    else:
+        a, b_ = bands.alias("a"), bands.alias("b")
+        salt_cond = F.lit(True)
+    # First-collision-band guard, statically unrolled (see lsh_core for
+    # why the zip_with/slice spelling lost to the CASE chain): band 0
+    # has no earlier bands; band b requires abv[0..b-1] to all differ.
+    no_earlier_collision = F.lit(True)
+    for eb in range(1, NEARDUP_BANDS):
+        all_differ = _py_reduce(
+            lambda acc, c: acc & c,
+            [F.col("a.abv")[i] != F.col("b.abv")[i] for i in range(eb)],
+        )
+        no_earlier_collision = F.when(
+            F.col("a.band") == eb, all_differ
+        ).otherwise(no_earlier_collision)
+    cand = a.join(
+        b_,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & salt_cond
+        & no_earlier_collision,
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = cosine(F.col("ea"), F.col("eb"))
-    return (
+    # nondet_zero pins the cosine fold to this projection so the
+    # threshold filter cannot be pushed into the join condition (where
+    # the O(dim) fold would evaluate once in the condition and AGAIN in
+    # the output projection). Adding long 0 is exact; NULL (zero-norm
+    # try_divide) propagates and fails the >= exactly as before.
+    scored = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .filter(cos >= COSINE_NEARDUP_T)
-        .select("vec_a", "vec_b", pround(cos, 4).alias("cosine"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (cosine(F.col("ea"), F.col("eb")) + nondet_zero()).alias("cos"),
+        )
+    )
+    return scored.filter(F.col("cos") >= COSINE_NEARDUP_T).select(
+        "vec_a", "vec_b", pround(F.col("cos"), 4).alias("cosine")
     )
 
 

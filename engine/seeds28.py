@@ -237,7 +237,11 @@ def emb_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.coalesce(1).mapInPandas(
         allpairs, schema="va long, vb long, cos double"
     )
-    banded = _embedding_neardup_banded(ev, dim).select(
+    # hot_gate=False: the eval corpus is witness-capped at 2·EMB_EVAL_CAP
+    # = 500 rows, provably under any sane hot-bucket bound, and the gate
+    # never changes the candidate set — skipping the census saves its
+    # one extra job (engine/scale_ops.py note).
+    banded = _embedding_neardup_banded(ev, dim, hot_gate=False).select(
         F.col("vec_a").alias("va"),
         F.col("vec_b").alias("vb"),
         F.lit(1).alias("in_b"),

@@ -158,3 +158,135 @@ def test_hot_bucket_gate_preserves_pairs_and_bounds_tasks(
     # g = ceil(60/8) = 8 → 64 sub-buckets; no one sub-bucket holds more
     # than a small share of the 1770-pair clique.
     assert per_key["mx"] < clique / 4
+
+
+# ---------------------------------------------------------------------------
+# Embedding banded path (r14: the same gate, applied to
+# engine.scale_ops._embedding_neardup_banded)
+# ---------------------------------------------------------------------------
+
+# 8-dim Hadamard rows: mutually orthogonal (cosine exactly 0, integer
+# arithmetic — no threshold-boundary ulp risk), so the only pairs at or
+# above COSINE_NEARDUP_T are the identical-vector clique (cosine 1.0).
+_HAD = [
+    [1, 1, 1, 1, 1, 1, 1, 1],
+    [1, -1, 1, -1, 1, -1, 1, -1],
+    [1, 1, -1, -1, 1, 1, -1, -1],
+    [1, -1, -1, 1, 1, -1, -1, 1],
+    [1, 1, 1, 1, -1, -1, -1, -1],
+    [1, -1, 1, -1, -1, 1, -1, 1],
+]
+N_VEC_DUP = 60  # 60 copies of _HAD[0] → every band bucket holds 60 rows
+
+
+@pytest.fixture(scope="module")
+def hot_emb(spark):
+    rows = [(i, [float(x) for x in _HAD[0]]) for i in range(N_VEC_DUP)] + [
+        (100 + k, [float(x) for x in _HAD[1 + k]]) for k in range(5)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)
+
+
+def test_embedding_hot_bucket_gate_preserves_pairs_and_bounds_tasks(
+    spark, hot_emb, monkeypatch
+):
+    """Force the embedding path's hot-bucket gate (the bound is the
+    SHARED engine.lsh_core.HOT_BUCKET_ROWS, resolved at call time) and
+    pin BOTH properties: output identical to the ungated run, and the
+    clique bucket's pair space split across g² > 1 sub-buckets with a
+    bounded per-sub-bucket share."""
+    import engine.lsh_core as lc
+    from engine.scale_ops import (
+        NEARDUP_BANDS,
+        _emb_dim,
+        _embedding_neardup_banded,
+    )
+    from pyspark.sql import functions as F
+
+    dim = _emb_dim(hot_emb)
+    ungated = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _embedding_neardup_banded(hot_emb, dim).collect()
+    }
+    want = {
+        (a, b): 1.0
+        for a in range(N_VEC_DUP)
+        for b in range(a + 1, N_VEC_DUP)
+    }
+    assert ungated == want  # the clique, nothing else (orthogonal rest)
+
+    monkeypatch.setattr(lc, "HOT_BUCKET_ROWS", 8)
+    gated = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _embedding_neardup_banded(hot_emb, dim).collect()
+    }
+    assert gated == ungated  # bit-identical with the gate TRIPPED
+
+    # The divert itself: rebuild the salted sides exactly as the gated
+    # branch does and check per-sub-bucket pair counts over the hot
+    # (g > 1) buckets only.
+    import numpy as np
+    from engine.scale_ops import NEARDUP_BITS, _plane_weight
+
+    planes = NEARDUP_BANDS * NEARDUP_BITS
+    plane_mat = np.array(
+        [[_plane_weight(k, d) for d in range(dim)] for k in range(planes)]
+    )
+    rows = hot_emb.collect()
+    band_rows = []
+    for r in rows:
+        bits = np.asarray(r.embedding) @ plane_mat.T > 0
+        for b in range(NEARDUP_BANDS):
+            seg = bits[b * NEARDUP_BITS : (b + 1) * NEARDUP_BITS]
+            bv = int(
+                (seg.astype(np.int64) << np.arange(NEARDUP_BITS)).sum()
+            )
+            band_rows.append((r.vec_id, b, bv))
+    bands = spark.createDataFrame(
+        band_rows, "vec_id long, band int, bv long"
+    )
+    hot = (
+        bands.groupBy("band", "bv")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") > lc.HOT_BUCKET_ROWS)
+        .select(
+            "band",
+            "bv",
+            F.ceil(F.col("bn") / F.lit(lc.HOT_BUCKET_ROWS))
+            .cast("int")
+            .alias("g"),
+        )
+    )
+    assert hot.count() == NEARDUP_BANDS  # all 8 clique buckets are hot
+    flagged = (
+        bands.join(F.broadcast(hot), ["band", "bv"], "inner")
+        .withColumn("salt", F.pmod(F.hash("vec_id"), F.col("g")))
+    )
+    rep = F.explode(F.sequence(F.lit(0), F.col("g") - 1))
+    a = flagged.select(
+        "vec_id", "band", "bv",
+        F.col("salt").alias("s1"), rep.alias("s2"),
+    ).alias("a")
+    b = flagged.select(
+        "vec_id", "band", "bv",
+        rep.alias("s1"), F.col("salt").alias("s2"),
+    ).alias("b")
+    per_key = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.s1") == F.col("b.s1"))
+            & (F.col("a.s2") == F.col("b.s2"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy("a.band", "a.bv", "a.s1", "a.s2")
+        .agg(F.count("*").alias("n_pairs"))
+        .agg(F.max("n_pairs").alias("mx"), F.sum("n_pairs").alias("tot"))
+        .collect()[0]
+    )
+    clique = N_VEC_DUP * (N_VEC_DUP - 1) // 2
+    assert per_key["tot"] == NEARDUP_BANDS * clique  # every band, every pair
+    assert per_key["mx"] < clique / 4  # no task holds the whole clique
