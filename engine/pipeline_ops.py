@@ -29,7 +29,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -39,6 +39,7 @@ from engine.llm_ops import (
     mask_width,
     nondet_zero,
     packed_token_sets,
+    token_arrays,
     tokens,
 )
 from engine.registry import query
@@ -65,6 +66,26 @@ CHUNK_SIZE = 32  # tokens per chunk
 CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
 PACK_WINDOW = 512  # context-window length for sequence packing
 AUDIO_FRAME = 32  # bytes per audio frame
+
+
+def _shingle_array() -> Column:
+    """The per-document distinct character-shingle ARRAY expression —
+    the chunked O(len·C) construction documented on
+    :func:`char_shingles`, shared by the exploding form and the
+    count-only form (:func:`char_shingle_counts`) so the two can never
+    drift."""
+    c_len = SHINGLE_CHUNK + NGRAM - 1
+    return F.array_distinct(
+        F.expr(
+            "flatten(transform("
+            f"  transform(sequence(0, (length(text) - {NGRAM})"
+            f"                        div {SHINGLE_CHUNK}),"
+            f"    k -> substring(text, k * {SHINGLE_CHUNK} + 1,"
+            f"                   {c_len})),"
+            f"  c -> transform(sequence(1, length(c) - {NGRAM - 1}),"
+            f"    i -> substring(c, i, {NGRAM}))))"
+        )
+    )
 
 
 def char_shingles(d: DataFrame) -> DataFrame:
@@ -102,26 +123,45 @@ def char_shingles(d: DataFrame) -> DataFrame:
     Input is spread (engine.llm_ops.spread_docs) so the ~200×-expanding
     explode parallelizes regardless of the scan's split count.
     """
+    return char_shingle_arrays(d).select(
+        "doc_id",
+        "lang",
+        F.explode("toks").alias("token"),
+    )
+
+
+def char_shingle_arrays(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, toks array<string>) — the pre-explode doc-grain
+    form of :func:`char_shingles` (identical filter and shingle-array
+    expression, so exploding ``toks`` yields exactly those rows). The
+    LSH core checkpoints THIS frame instead of the ~200×-larger
+    occurrence rows (r15, guide §2.3/§8); see llm_ops.token_arrays for
+    the word-token analogue."""
     from engine.llm_ops import spread_docs
 
     d = spread_docs(d)
-    c_len = SHINGLE_CHUNK + NGRAM - 1
     return d.filter(F.length("text") >= NGRAM).select(
         "doc_id",
         "lang",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "flatten(transform("
-                    f"  transform(sequence(0, (length(text) - {NGRAM})"
-                    f"                        div {SHINGLE_CHUNK}),"
-                    f"    k -> substring(text, k * {SHINGLE_CHUNK} + 1,"
-                    f"                   {c_len})),"
-                    f"  c -> transform(sequence(1, length(c) - {NGRAM - 1}),"
-                    f"    i -> substring(c, i, {NGRAM}))))"
-                )
-            )
-        ).alias("token"),
+        _shingle_array().alias("toks"),
+    )
+
+
+def char_shingle_counts(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_shingles) — each document's DISTINCT character
+    5-gram shingle count, computed WITHOUT the ~200×-expanding explode:
+    ``size(array_distinct(...))`` over the same chunked shingle-array
+    expression :func:`char_shingles` explodes, so the count equals
+    exactly COUNT(*) of that explode per document. Consumers that only
+    need per-doc totals (llm_ngram_novelty's denominator) read this
+    doc-grain frame instead of aggregating occurrence rows — no
+    occurrence-sized shuffle exists at any scale. Input is spread for
+    the same heavy-map-parallelism reason as char_shingles (the
+    substring work is identical; only the explode is skipped)."""
+    return char_shingle_arrays(d).select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n_shingles"),
     )
 
 
@@ -207,8 +247,10 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(b),
         (a["lang"] == b["lang"])
         & (F.col("doc_a") < F.col("doc_b"))
-        & (F.col("na") * t <= F.col("nb"))
-        & (F.col("nb") * t <= F.col("na")),
+        # −1 slack (r15): covers double rounding at the na/nb = t
+        # boundary — see llm_ops.exact_jaccard_pairs.
+        & (F.col("na") * t - 1 <= F.col("nb"))
+        & (F.col("nb") * t - 1 <= F.col("na")),
     ).select(
         "doc_a",
         "doc_b",
@@ -253,7 +295,7 @@ def llm_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     return lsh_neardup_pairs(
-        char_shingles(d), NGRAM_THRESHOLD, materialize_tok=True
+        None, NGRAM_THRESHOLD, tok_arrays=char_shingle_arrays(d)
     )
 
 
@@ -275,7 +317,7 @@ def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift."""
     d = load(spark, sf_dir, "documents")
     pairs = lsh_neardup_pairs(
-        tokens(d, distinct=True), CLUSTER_THRESHOLD, materialize_tok=True
+        None, CLUSTER_THRESHOLD, tok_arrays=token_arrays(d)
     ).select("doc_a", "doc_b")
     return pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")

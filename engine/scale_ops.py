@@ -38,6 +38,7 @@ from engine.llm_ops import (
     minhash_hashes,
     nondet_zero,
     packed_token_sets,
+    token_arrays,
     tokens,
 )
 from engine.registry import query
@@ -61,9 +62,7 @@ def llm_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.8 (SURVEY.md §7.4). See :func:`lsh_neardup_pairs` for the plan;
     same output contract as llm_jaccard_neardup."""
     d = load(spark, sf_dir, "documents")
-    return lsh_neardup_pairs(
-        tokens(d, distinct=True), 0.8, materialize_tok=True
-    )
+    return lsh_neardup_pairs(None, 0.8, tok_arrays=token_arrays(d))
 
 
 # ---------------------------------------------------------------------------
@@ -420,32 +419,43 @@ def _embedding_neardup_banded(
     from engine import lsh_core as _lsh_core
 
     hot_bound = _lsh_core.HOT_BUCKET_ROWS
-    hot_rows = (
-        (
+    flagged = None
+    if hot_gate:
+        census = (
             bands.groupBy("band", "bv")
             .agg(F.count("*").alias("bn"))
             .filter(F.col("bn") > hot_bound)
-            .select(
+        )
+        # BOUNDED driver transfer (r15, VERDICT r14 item 3 — the same
+        # two-stage census as lsh_core.lsh_neardup_pairs): two scalars
+        # first, the per-bucket list only when provably ≤ the cap,
+        # uniform salting (list-free) above it.
+        stats = census.agg(
+            F.count("*").alias("n_hot"), F.max("bn").alias("max_bn")
+        ).first()
+        n_hot = stats["n_hot"] or 0
+        if 0 < n_hot <= _lsh_core.HOT_CENSUS_CAP:
+            hot_rows = census.select(
                 "band",
                 "bv",
                 F.ceil(F.col("bn") / F.lit(hot_bound))
                 .cast("int")
                 .alias("g"),
+            ).collect()
+            hot = emb.sparkSession.createDataFrame(
+                hot_rows, "band int, bv long, g int"
             )
-            .collect()
-        )
-        if hot_gate
-        else []
-    )
-    if hot_rows:
-        hot = emb.sparkSession.createDataFrame(
-            hot_rows, "band int, bv long, g int"
-        )
-        flagged = (
-            bands.join(F.broadcast(hot), ["band", "bv"], "left")
-            .withColumn("g", F.coalesce(F.col("g"), F.lit(1)))
-            .withColumn("salt", F.pmod(F.hash("vec_id"), F.col("g")))
-        )
+            flagged = (
+                bands.join(F.broadcast(hot), ["band", "bv"], "left")
+                .withColumn("g", F.coalesce(F.col("g"), F.lit(1)))
+                .withColumn("salt", F.pmod(F.hash("vec_id"), F.col("g")))
+            )
+        elif n_hot > _lsh_core.HOT_CENSUS_CAP:
+            g_uniform = int(-(-stats["max_bn"] // hot_bound))
+            flagged = bands.withColumn(
+                "g", F.lit(g_uniform)
+            ).withColumn("salt", F.pmod(F.hash("vec_id"), F.col("g")))
+    if flagged is not None:
         rep = F.explode(F.sequence(F.lit(0), F.col("g") - 1))
         a = flagged.select(
             "vec_id",

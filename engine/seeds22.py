@@ -83,7 +83,7 @@ def llm_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline executes twice. The checkpointed frames are pair-set-sized
     (≤ EVAL_CAP² candidates), never corpus-sized.
     """
-    from engine.llm_ops import exact_jaccard_pairs, tokens
+    from engine.llm_ops import exact_jaccard_pairs, token_arrays
     from engine.lsh_core import lsh_neardup_pairs
     from engine.session import load
 
@@ -96,9 +96,7 @@ def llm_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     approx = (
-        lsh_neardup_pairs(
-            tokens(witness, distinct=True), 0.8, materialize_tok=True
-        )
+        lsh_neardup_pairs(None, 0.8, tok_arrays=token_arrays(witness))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )

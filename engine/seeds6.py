@@ -743,11 +743,17 @@ def llm_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bitset_intersection,
         nondet_zero,
         packed_token_sets,
-        tokens,
+        token_arrays,
     )
 
     d = load(spark, sf_dir, "documents")
-    tok = tokens(d, distinct=True).localCheckpoint(eager=True)
+    # Doc-grain ARRAY checkpoint instead of exploded occurrence rows
+    # (r15, the lsh_core.lsh_neardup_pairs tok_arrays pattern — guide
+    # §2.3/§8): same string payload materialized with ~token-count
+    # fewer row headers, consumers re-explode in-plan, and the verify
+    # pack prunes to candidate docs BEFORE any explode below.
+    arrs = token_arrays(d).localCheckpoint(eager=True)
+    tok = arrs.select("doc_id", "lang", F.explode("toks").alias("token"))
     bands = band_rows(_minhash_sig(tok))
     # split is a pure function of doc_id (engine.splits), so each side
     # derives it locally — no join back to documents for the label.
@@ -804,7 +810,9 @@ def llm_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         packed = packed_token_sets(
-            tok.join(cand_ids, "doc_id", "left_semi")
+            arrs.join(cand_ids, "doc_id", "left_semi").select(
+                "doc_id", "lang", F.explode("toks").alias("token")
+            )
         ).localCheckpoint(eager=True)
         n_words = len(packed.select("mask").first()[0])
         pa = packed.select(
@@ -827,8 +835,10 @@ def llm_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.join(F.broadcast(pa), "doc_t")
             .join(F.broadcast(pb), "doc_e")
             .filter(
-                (F.col("na") * DECON_THRESHOLD <= F.col("nb"))
-                & (F.col("nb") * DECON_THRESHOLD <= F.col("na"))
+                # −1 slack (r15): covers double rounding at the
+                # na/nb = t boundary — see llm_ops.exact_jaccard_pairs.
+                (F.col("na") * DECON_THRESHOLD - 1 <= F.col("nb"))
+                & (F.col("nb") * DECON_THRESHOLD - 1 <= F.col("na"))
             )
             .withColumn(
                 "n_common",
@@ -1135,35 +1145,45 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     memorization/contamination screen that catches template farms exact
     dedup misses and near-dup thresholds pass.
 
-    Scale: the global first occurrence is a whole-partition window min
-    over the shingle vocabulary key (r14) — ONE token-keyed shuffle of
-    the occurrence rows, then the doc-keyed rollup. The previous shape
-    (checkpoint the shingle rows, groupBy token, join the vocab frame
-    back) paid an extra occurrence-sized materialization plus a second
-    pass over the rows for the same two logical shuffles; the window
-    form consumes the explode exactly once, so no checkpoint is needed
-    either. Nothing quadratic; a boilerplate shingle present in every
-    doc is one (bounded) window partition, not a join blowup.
+    Scale (r15, skew-safe): a token's first occurrence contributes to
+    exactly ONE document's novel count (its min doc_id), so n_novel
+    never needs the global min joined back onto occurrence rows at all:
+    ``groupBy(token).min(doc_id)`` (map-combinable partial min — a
+    boilerplate shingle present in every document collapses to one row
+    per map partition BEFORE the exchange) → ``groupBy(doc_id).count``
+    over the vocab-grain result. The r14 window-min form
+    (``min(doc_id) over (partition by token)``) was one shuffle fewer
+    locally but put every occurrence of a hot shingle into ONE
+    unsplittable window partition — window partitions have no partial
+    aggregation and AQE cannot split them, so one shingle present in
+    10⁹ docs at 100 TB is a single straggler task (VERDICT r14 item 1).
+    The denominator never leaves doc grain: n_shingles is
+    ``size(array_distinct(...))`` of the same shingle array the explode
+    consumes (char_shingle_counts), so no occurrence-sized shuffle
+    exists anywhere in the query — the only occurrence-sized structure
+    is the exchange INPUT of the token partial-min, which partial
+    aggregation compresses to ~vocab × partitions rows on the wire.
     """
-    from engine.pipeline_ops import char_shingles
+    from engine.pipeline_ops import char_shingle_counts, char_shingles
 
     d = load(spark, sf_dir, "documents")
-    sh = char_shingles(d)
-    is_first = F.min("doc_id").over(W.partitionBy("token")) == F.col(
-        "doc_id"
+    # Tokens whose GLOBAL first occurrence is this doc, counted per doc:
+    # two map-combinable aggregates, no join back to occurrence rows.
+    novel = (
+        char_shingles(d)
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_novel"))
     )
-    return (
-        sh.select("doc_id", "lang", is_first.alias("nv"))
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(F.when(F.col("nv"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_novel"),
-            pround(
-                F.sum(F.when(F.col("nv"), 1).otherwise(0)).cast("double")
-                / F.count("*"),
-                4,
-            ).alias("novelty"),
-        )
+    totals = char_shingle_counts(d)
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
+    return totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_shingles",
+        n_novel.alias("n_novel"),
+        pround(
+            n_novel.cast("double") / F.col("n_shingles"), 4
+        ).alias("novelty"),
     )

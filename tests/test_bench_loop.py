@@ -152,3 +152,51 @@ def test_quiet_gate_gives_up_at_max_wait():
     )
     assert waited == 30
     assert len(slept) == 3
+
+
+def test_summary_artifact_contract():
+    """r15 summary-line pins (VERDICT r14 item 6): the final JSON line
+    must stay parseable from the driver's ~2 KB stdout tail AND be
+    unmisreadable — its per-query dict is the slowest-N subset (marked
+    by truncated_to_slowest), and geomean_sec carries the whole-suite
+    per-query signal that survives the truncation."""
+    import json
+    import math
+
+    timings = {f"q{i:03d}": round(0.05 + i * 0.01, 3) for i in range(300)}
+    full, summary = bench.build_artifacts(
+        timings,
+        sf=0.1,
+        loadavg_start=[0.1, 0.2, 0.3],
+        loadavg_end=[1.0, 1.0, 1.0],
+        cpus=32,
+        quiet_wait=10.0,
+        reps=3,
+    )
+    # Full line: every query, same totals, geomean present on BOTH
+    # lines so either artifact alone carries it.
+    assert full["queries"] == timings
+    assert full["value"] == summary["value"] == round(sum(timings.values()), 3)
+    want_geo = round(
+        math.exp(sum(math.log(max(v, 1e-3)) for v in timings.values())
+                 / len(timings)), 3,
+    )
+    assert full["geomean_sec"] == summary["geomean_sec"] == want_geo
+    # Summary line: a strict slowest-N subset, explicitly marked.
+    assert summary["n_queries"] == 300
+    n = summary["truncated_to_slowest"]
+    assert n == summary["n_reported"] == len(summary["queries"]) < 300
+    cutoff = min(summary["queries"].values())
+    dropped = [q for q in timings if q not in summary["queries"]]
+    assert all(timings[q] <= cutoff for q in dropped), (
+        "summary must keep the SLOWEST queries"
+    )
+    # The line survives the driver's tail capture with room to spare.
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) <= 1400, f"summary line {len(line)}B > 1400B"
+    # Degenerate input: no queries -> no crash, null geomean.
+    full0, summary0 = bench.build_artifacts(
+        {}, sf=None, loadavg_start=None, loadavg_end=None,
+        cpus=1, quiet_wait=0.0, reps=1,
+    )
+    assert full0["geomean_sec"] is None and summary0["n_queries"] == 0
