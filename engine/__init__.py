@@ -111,50 +111,44 @@ registry.resolve_oracles()
 #      rotates the next-oldest tail into the following round's window —
 #      future rounds only maintain list (1).
 #
-# tests/test_plans.py::test_round14_correctness_window pins the resulting
+# tests/test_plans.py::test_round15_correctness_window pins the resulting
 # window for this round, so any drift (a lost correctness file, a
 # registration reorder) fails at test time, not silently at driver time.
 # ---------------------------------------------------------------------------
 
-# Round-14 changed-code priority list (optimization round — results
-# identical by construction, but the policy pins ANY implementation
-# change to a fresh driver row). The LSH-core rewrite (binary band
-# keys, first-collision-band dedup, size-ratio prune, hot-bucket gate,
-# signature checkpoint) flows into every query that composes
-# lsh_neardup_pairs: llm_lsh_neardup, llm_ngram_lsh, the two CC riders
-# (llm_dedup_clusters / llm_dedup_survivors via dedup_labels), and
-# llm_dedup_recall. llm_decontaminate_lsh shares band_rows and gained
-# its own first-collision dedup + size prune. simhash_neardup_pairs
-# gained the first-collision dedup (llm_simhash_neardup +
-# llm_simhash_recall). llm_containment_neardup switched to the
-# packed-bitset broadcast shape; llm_ngram_novelty to a window-min;
-# graph_pagerank_integer fused its per-iteration aggregates;
-# llm_ann_ivf truncates the Lloyd lineage with checkpoints;
-# udf_apply_in_pandas moved its group body to numpy with a JVM
-# NaN→NULL projection; llm_embedding_neardup's worker corpus-cache key
-# now walks directories recursively. (The session schema catalog
-# changes every query's metadata path but no plan semantics — listing
-# all 290 would defeat the window; the full differential sweep covered
-# it instead.) The remaining 36 slots recycle mechanically: the 12
-# r7-evidence oracled rows not already in the changed list (4 of the
-# 16 r7 rows — llm_lsh_neardup, llm_ngram_lsh, llm_simhash_neardup,
-# udf_apply_in_pandas — are changed-code rows above) + the 24 oldest
-# r8 rows. Post-r14 oracled staleness floor = r8.
-_R14_CHANGED: list[str] = [
-    "llm_lsh_neardup",
+# Round-15 changed-code priority list (second optimization round —
+# results identical by construction, but the policy pins ANY
+# implementation change to a fresh driver row). The r15 doc-grain
+# ARRAY checkpoint in lsh_core.lsh_neardup_pairs (tok_arrays: arrays
+# materialized instead of exploded occurrence rows, candidate semi-join
+# at doc grain) flows into llm_lsh_neardup, llm_ngram_lsh, the CC
+# riders (llm_dedup_clusters / llm_dedup_survivors via dedup_labels —
+# which additionally gained the delta-frontier CC rounds), and
+# llm_dedup_recall; llm_decontaminate_lsh applies the same pattern
+# inline. The bounded two-stage hot-bucket census (stats first,
+# collect only under HOT_CENSUS_CAP, uniform salting above) changed
+# lsh_neardup_pairs and _embedding_neardup_banded (llm_embedding_
+# neardup + emb_banded_recall). The −1-slack size prunes changed
+# exact_jaccard_pairs (llm_jaccard_neardup, llm_dedup_recall's exact
+# side, llm_simhash_recall's exact side), llm_ngram_jaccard, the LSH
+# verify, and the decontamination verify. llm_ngram_novelty was
+# rewritten from a whole-partition window min to map-combinable
+# aggregates plus an explode-free doc-grain denominator. The remaining
+# 38 slots recycle mechanically from the stale tail (post-r14 oracled
+# staleness floor = r8; see tests/test_plans.py for the pinned fill).
+_R15_CHANGED: list[str] = [
+    "llm_ngram_novelty",
     "llm_ngram_lsh",
+    "llm_lsh_neardup",
     "llm_dedup_clusters",
     "llm_dedup_survivors",
     "llm_dedup_recall",
     "llm_decontaminate_lsh",
-    "llm_simhash_neardup",
+    "llm_jaccard_neardup",
+    "llm_ngram_jaccard",
     "llm_simhash_recall",
-    "llm_containment_neardup",
-    "llm_ngram_novelty",
-    "graph_pagerank_integer",
-    "llm_ann_ivf",
-    "udf_apply_in_pandas",
     "llm_embedding_neardup",
+    "emb_banded_recall",
 ]
 
 _WINDOW_SIZE = 50
@@ -212,10 +206,10 @@ def _stale_fill(priority: list[str], n: int) -> list[str]:
     return candidates[:n]
 
 
-_R14_WINDOW = _R14_CHANGED + _stale_fill(
-    _R14_CHANGED, _WINDOW_SIZE - len(_R14_CHANGED)
+_R15_WINDOW = _R15_CHANGED + _stale_fill(
+    _R15_CHANGED, _WINDOW_SIZE - len(_R15_CHANGED)
 )
-registry.promote(_R14_WINDOW)
+registry.promote(_R15_WINDOW)
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

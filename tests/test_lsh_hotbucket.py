@@ -290,3 +290,56 @@ def test_embedding_hot_bucket_gate_preserves_pairs_and_bounds_tasks(
     clique = N_VEC_DUP * (N_VEC_DUP - 1) // 2
     assert per_key["tot"] == NEARDUP_BANDS * clique  # every band, every pair
     assert per_key["mx"] < clique / 4  # no task holds the whole clique
+
+
+def test_census_cap_zero_uniform_salting_preserves_pairs(
+    spark, hotbucket_sf_dir, monkeypatch
+):
+    """r15 (VERDICT r14 item 3): force the census OVER its transfer cap
+    (HOT_CENSUS_CAP = 0 with a tripped bound) so the uniform-salting
+    fallback runs — no per-bucket list is collected at all — and pin
+    that the pair output is bit-identical to the ungated run. Uses the
+    production tok_arrays path, so this also exercises the r15
+    doc-grain array checkpoint end-to-end under the gate."""
+    import engine.lsh_core as lc
+    from engine.llm_ops import token_arrays
+    from engine.session import load
+
+    docs = load(spark, hotbucket_sf_dir, "documents")
+    want = {
+        (a, b): 1.0 for a in range(N_DUP) for b in range(a + 1, N_DUP)
+    }
+
+    monkeypatch.setattr(lc, "HOT_BUCKET_ROWS", 8)
+    monkeypatch.setattr(lc, "HOT_CENSUS_CAP", 0)
+    uniform = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in lc.lsh_neardup_pairs(
+            None, 0.8, tok_arrays=token_arrays(docs)
+        ).collect()
+    }
+    assert uniform == want, (
+        "uniform-salting fallback (census over cap) changed the pairs"
+    )
+
+
+def test_embedding_census_cap_zero_uniform_salting_preserves_pairs(
+    spark, hot_emb, monkeypatch
+):
+    """Same cap=0 uniform-salting pin for the embedding banded path."""
+    import engine.lsh_core as lc
+    from engine.scale_ops import _emb_dim, _embedding_neardup_banded
+
+    dim = _emb_dim(hot_emb)
+    want = {
+        (a, b): 1.0
+        for a in range(N_VEC_DUP)
+        for b in range(a + 1, N_VEC_DUP)
+    }
+    monkeypatch.setattr(lc, "HOT_BUCKET_ROWS", 8)
+    monkeypatch.setattr(lc, "HOT_CENSUS_CAP", 0)
+    uniform = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _embedding_neardup_banded(hot_emb, dim).collect()
+    }
+    assert uniform == want

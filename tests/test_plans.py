@@ -464,44 +464,39 @@ def test_exact_witness_absolute_caps_pushed(spark):
     assert "JACCARD_WITNESS_MAX_ID" in body
 
 
-# The fill literal for the round-14 pin: _R14_CHANGED is the 14-query
-# changed-code list of the r14 optimization round (the LSH-core rewrite
-# and its five composing queries, the decontamination's own
-# first-collision dedup, the simhash first-collision pair, the
-# containment bitset rewrite, the novelty window-min, the pagerank
-# aggregate fusion, the IVF lineage truncation, the numpy grouped-map
-# body, and the corpus-cache key walk) — results identical by
-# construction, but the policy pins ANY implementation change to a
-# fresh driver row — so they take slots 0-13 and the other 36 slots
-# recycle the stalest oracled rows under the r1-r13 history: the 12
-# r7-evidence rows not already in the changed list, then the 24 oldest
-# r8 rows, in (latest-round, registration-order) order. Pinned
-# literally so a damaged/lost correctness file or a registration
-# reorder CHANGES the computed fill and fails against this list,
-# instead of the test silently agreeing with whatever the import
-# computed (ADVICE r8 item 5). Post-r14 oracled staleness floor = r8.
-_R14_FILL = [
-    "ts_naive_forecast_eval", "fn_timezone_surface",
-    "fn_datetime_constructors", "llm_langid_confusion",
-    "agg_try_aggregates", "sql_null_ordering",
-    "events_active_streak_max", "mm_label_balance_chi2",
-    "ts_rolling_zscore", "llm_code_fraction", "llm_dedup_pipeline",
-    "llm_fingerprint", "ts_interpolate_linear", "events_ab_welch",
-    "ts_ewma_smooth", "sink_compaction", "events_user_overlap_jaccard",
-    "mm_embedding_centroids", "win_nth_value", "win_pct_change",
-    "llm_zipf_slope", "agg_skew_kurtosis", "win_pareto_days",
-    "llm_minhash_sketch", "mm_audio_features", "q9_product_profit",
-    "win_rolling_median", "ts_gap_fill", "agg_unpivot",
-    "llm_decontaminate", "source_text_roundtrip", "mm_image_features",
-    "mm_image_resize", "scan_parquet", "scan_filter_pushdown",
-    "project_compute",
+# The fill literal for the round-15 pin: _R15_CHANGED is the 12-query
+# changed-code list of the r15 optimization round (the doc-grain array
+# checkpoint through the LSH family, the delta-frontier CC rounds, the
+# bounded two-stage hot-bucket census, the −1-slack size prunes, and
+# the novelty rewrite) — results identical by construction, but the
+# policy pins ANY implementation change to a fresh driver row — so
+# they take slots 0-11 and the other 38 slots recycle the stalest
+# oracled rows under the r1-r14 history: the 11 r8-evidence rows not
+# already in the changed list, then the 27 oldest r9 rows, in
+# (latest-round, registration-order) order. Pinned literally so a
+# damaged/lost correctness file or a registration reorder CHANGES the
+# computed fill and fails against this list, instead of the test
+# silently agreeing with whatever the import computed (ADVICE r8
+# item 5). Post-r15 oracled staleness floor = r9.
+_R15_FILL = [
+    "filter_compound", "join_left_outer", "join_full_outer",
+    "join_semi", "join_anti", "join_cross", "join_range_theta",
+    "join_asof", "agg_cube", "agg_stats", "fn_math", "llm_chunk_split",
+    "llm_seq_packing", "sql_scalar_subquery", "win_sessionize",
+    "agg_percentile", "q18_large_volume", "llm_token_regex",
+    "llm_simhash", "llm_ann_lsh", "llm_lang_id", "llm_token_count",
+    "llm_quality_score", "llm_kmeans", "mm_frame_sample",
+    "mm_payload_dedup", "agg_count_distinct", "agg_distinct_rows",
+    "agg_collect_sorted", "sort_limit_topk", "set_union_all",
+    "set_union_distinct", "set_intersect", "set_except", "fn_string",
+    "fn_datetime", "fn_array", "fn_array_doc_stats",
 ]
 
 
-def test_round14_correctness_window():
-    """Round-14 window pin (steady-state policy, engine/__init__):
-    _R14_CHANGED is exactly the 14 queries whose implementation changed
-    in the r14 optimization round (slots 0-13), so the remaining 36
+def test_round15_correctness_window():
+    """Round-15 window pin (steady-state policy, engine/__init__):
+    _R15_CHANGED is exactly the 12 queries whose implementation changed
+    in the r15 optimization round (slots 0-11), so the remaining 38
     slots MUST be the stalest oracled rows by (latest
     CORRECTNESS_r*.json round, registration order) — pinned against the
     LITERAL above, not against a re-run of the same function that
@@ -515,30 +510,28 @@ def test_round14_correctness_window():
     import re
 
     ids = list(engine.QUERIES)
-    assert engine._R14_CHANGED == [
-        "llm_lsh_neardup",
+    assert engine._R15_CHANGED == [
+        "llm_ngram_novelty",
         "llm_ngram_lsh",
+        "llm_lsh_neardup",
         "llm_dedup_clusters",
         "llm_dedup_survivors",
         "llm_dedup_recall",
         "llm_decontaminate_lsh",
-        "llm_simhash_neardup",
+        "llm_jaccard_neardup",
+        "llm_ngram_jaccard",
         "llm_simhash_recall",
-        "llm_containment_neardup",
-        "llm_ngram_novelty",
-        "graph_pagerank_integer",
-        "llm_ann_ivf",
-        "udf_apply_in_pandas",
         "llm_embedding_neardup",
+        "emb_banded_recall",
     ], (
-        "the r14 changed-code list is exactly the queries the r14 "
+        "the r15 changed-code list is exactly the queries the r15 "
         "optimization round touched; any other change must be declared "
         "here explicitly, not slip in silently"
     )
-    assert ids[: len(engine._R14_CHANGED)] == engine._R14_CHANGED, (
+    assert ids[: len(engine._R15_CHANGED)] == engine._R15_CHANGED, (
         "changed-code ops must hold the first window slots"
     )
-    fill = ids[len(engine._R14_CHANGED):50]
+    fill = ids[len(engine._R15_CHANGED):50]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     # Structural soundness of the history the recycler read: every
@@ -558,18 +551,18 @@ def test_round14_correctness_window():
         )
         unknown = [q for q in rows if q not in engine.QUERIES]
         assert not unknown, f"{p}: unregistered qids {unknown}"
-    assert rounds_seen[:13] == list(range(1, 14)), (
-        "a pre-r14 driver report went missing — the recycler window "
+    assert rounds_seen[:14] == list(range(1, 15)), (
+        "a pre-r15 driver report went missing — the recycler window "
         "would silently reshape"
     )
 
-    if max(rounds_seen) == 13:
-        # This round's exact snapshot (history = r1-r13): the fill must
+    if max(rounds_seen) == 14:
+        # This round's exact snapshot (history = r1-r14): the fill must
         # be the literal stale-tail drain above.
-        assert fill == _R14_FILL, (
-            "oldest-row recycling fill drifted from the pinned r14 fill"
+        assert fill == _R15_FILL, (
+            "oldest-row recycling fill drifted from the pinned r15 fill"
         )
-    # Policy invariants hold in every round (once CORRECTNESS_r14+
+    # Policy invariants hold in every round (once CORRECTNESS_r15+
     # lands, the fill legitimately rotates to the next-oldest tail):
     assert len(ids[:50]) == 50 and len(set(ids[:50])) == 50
     for qid in fill:
@@ -577,7 +570,7 @@ def test_round14_correctness_window():
         # it past the driver's weaker rows-only tier)
         assert qid in engine.ORACLES, f"{qid}: rows-only op in fill slot"
     assert fill == engine._stale_fill(
-        engine._R14_CHANGED, 50 - len(engine._R14_CHANGED)
+        engine._R15_CHANGED, 50 - len(engine._R15_CHANGED)
     ), "window fill does not match the declared stale-fill policy"
 
 def test_no_untested_op_registers_past_window():

@@ -558,3 +558,82 @@ def test_neardup_corpus_dir_key_sees_nested_part_rewrite(tmp_path):
     assert mat2.tolist() == [[9.0, 9.0], [1.0, 1.0]], (
         "stale corpus served after a nested in-place part rewrite"
     )
+
+
+def test_size_prune_keeps_exact_boundary_pair(spark):
+    """r15 (VERDICT r14 item 9): a pair at J EXACTLY = t whose sizes sit
+    exactly at the prune boundary (nb/na = t) must survive the size
+    prune. The prune implication J ≥ t ⟹ t·na ≤ nb is exact in real
+    arithmetic but one rounding away in doubles: at t = 9/14 with
+    na=42, nb=27, the double product 42·t = 27.000000000000004 > 27,
+    so the pre-slack spelling (na*t <= nb) PRUNED this qualifying
+    pair — the −1 slack keeps it. (At the registered thresholds
+    0.7/0.8 the rounding happens to be benign for every na ≤ 5000 —
+    checked exhaustively — so this pins the generic helper at a
+    threshold where the failure is real, as insurance for any future
+    threshold.)"""
+    from engine.llm_ops import exact_jaccard_pairs
+
+    t = 9 / 14
+    assert 42 * t > 27, "test premise: the unslacked product rounds up"
+    toks = [f"w{i}" for i in range(42)]
+    rows = [
+        (0, " ".join(toks), "en", "s", 99),         # |A| = 42
+        (2, " ".join(toks[:27]), "en", "s", 99),    # B ⊂ A, |B| = 27
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in exact_jaccard_pairs(docs, threshold=t).collect()
+    }
+    # J(A,B) = 27/42 = 9/14 exactly = t: the pair must be in the
+    # output (pround(·, 4) of 0.642857... = 0.6429).
+    assert got == {(0, 2): 0.6429}
+
+
+def test_token_array_producers_match_occurrence_producers(spark):
+    """r15 arrays-checkpoint equivalence pin: exploding the doc-grain
+    array frames yields exactly the occurrence rows the LSH core used
+    to checkpoint, for both producers (word tokens and char shingles).
+    The lsh_neardup_pairs tok_arrays path re-derives occurrences from
+    these arrays, so this is the identity the whole optimization
+    rests on."""
+    from pyspark.sql import functions as F
+
+    from engine.llm_ops import token_arrays, tokens
+    from engine.pipeline_ops import char_shingle_arrays, char_shingles
+
+    rows = [
+        (0, "a bb a ccc bb dd", "en", "s", 16),
+        (1, "xyzzy", "de", "s", 5),
+        (2, "abc", "en", "s", 3),  # shorter than NGRAM: no shingles
+        (3, "", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    occ = sorted(
+        (r.doc_id, r.lang, r.token)
+        for r in tokens(docs, distinct=True).collect()
+    )
+    via_arr = sorted(
+        (r.doc_id, r.lang, r.token)
+        for r in token_arrays(docs)
+        .select("doc_id", "lang", F.explode("toks").alias("token"))
+        .collect()
+    )
+    assert occ == via_arr and occ, "word-token arrays diverge"
+    occ_sh = sorted(
+        (r.doc_id, r.lang, r.token) for r in char_shingles(docs).collect()
+    )
+    via_arr_sh = sorted(
+        (r.doc_id, r.lang, r.token)
+        for r in char_shingle_arrays(docs)
+        .select("doc_id", "lang", F.explode("toks").alias("token"))
+        .collect()
+    )
+    assert occ_sh == via_arr_sh and occ_sh, "shingle arrays diverge"
