@@ -71,9 +71,9 @@ AUDIO_FRAME = 32  # bytes per audio frame
 def _shingle_array() -> Column:
     """The per-document distinct character-shingle ARRAY expression —
     the chunked O(len·C) construction documented on
-    :func:`char_shingles`, shared by the exploding form and the
-    count-only form (:func:`char_shingle_counts`) so the two can never
-    drift."""
+    :func:`char_shingles`; :func:`char_shingle_arrays` wraps it as the
+    doc-grain frame every consumer (explode, size, LSH checkpoint)
+    derives from, so the spellings can never drift."""
     c_len = SHINGLE_CHUNK + NGRAM - 1
     return F.array_distinct(
         F.expr(
@@ -122,11 +122,26 @@ def char_shingles(d: DataFrame) -> DataFrame:
 
     Input is spread (engine.llm_ops.spread_docs) so the ~200×-expanding
     explode parallelizes regardless of the scan's split count.
+
+    The explode consumes the array expression INLINE — NOT via a named
+    `toks` projection. With Project(toks) → Generate(explode(toks)),
+    InferFiltersFromGenerate infers `size(toks) > 0 AND
+    isnotnull(toks)` and pushes it BELOW the projection, substituting
+    the whole O(len·C) array expression into the filter: the shingle
+    array is then built THREE times per document (measured 4× on the
+    tok-checkpoint phase of llm_ngram_jaccard at sf0.1, r15). The
+    inline generator input dodges the inference; consumers that
+    explode a CHECKPOINTED array column (lsh_core tok_arrays,
+    llm_ngram_novelty) are unaffected — there the inferred filter
+    reads a materialized column, which is O(1).
     """
-    return char_shingle_arrays(d).select(
+    from engine.llm_ops import spread_docs
+
+    d = spread_docs(d)
+    return d.filter(F.length("text") >= NGRAM).select(
         "doc_id",
         "lang",
-        F.explode("toks").alias("token"),
+        F.explode(_shingle_array()).alias("token"),
     )
 
 
@@ -144,24 +159,6 @@ def char_shingle_arrays(d: DataFrame) -> DataFrame:
         "doc_id",
         "lang",
         _shingle_array().alias("toks"),
-    )
-
-
-def char_shingle_counts(d: DataFrame) -> DataFrame:
-    """(doc_id, lang, n_shingles) — each document's DISTINCT character
-    5-gram shingle count, computed WITHOUT the ~200×-expanding explode:
-    ``size(array_distinct(...))`` over the same chunked shingle-array
-    expression :func:`char_shingles` explodes, so the count equals
-    exactly COUNT(*) of that explode per document. Consumers that only
-    need per-doc totals (llm_ngram_novelty's denominator) read this
-    doc-grain frame instead of aggregating occurrence rows — no
-    occurrence-sized shuffle exists at any scale. Input is spread for
-    the same heavy-map-parallelism reason as char_shingles (the
-    substring work is identical; only the explode is skipped)."""
-    return char_shingle_arrays(d).select(
-        "doc_id",
-        "lang",
-        F.size("toks").cast("long").alias("n_shingles"),
     )
 
 

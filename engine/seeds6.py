@@ -1158,25 +1158,35 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation and AQE cannot split them, so one shingle present in
     10⁹ docs at 100 TB is a single straggler task (VERDICT r14 item 1).
     The denominator never leaves doc grain: n_shingles is
-    ``size(array_distinct(...))`` of the same shingle array the explode
-    consumes (char_shingle_counts), so no occurrence-sized shuffle
-    exists anywhere in the query — the only occurrence-sized structure
-    is the exchange INPUT of the token partial-min, which partial
-    aggregation compresses to ~vocab × partitions rows on the wire.
+    ``size(toks)`` of the same checkpointed shingle-array frame the
+    explode consumes, so no occurrence-sized shuffle exists anywhere in
+    the query — the only occurrence-sized structure is the exchange
+    INPUT of the token partial-min, which partial aggregation
+    compresses to ~vocab × partitions rows on the wire.
+
+    The doc-grain array frame is checkpointed ONCE (the lsh_core
+    tok_arrays pattern; 15.1 MB at sf0.1) and both branches read it: a
+    first spelling computed the O(len·C) shingle-array expression
+    TWICE (once per branch), which measured 3.2 s vs the window form's
+    1.26 s in adjacent fast-host runs — the double construction, not
+    the aggregate shape, was the cost.
     """
-    from engine.pipeline_ops import char_shingle_counts, char_shingles
+    from engine.pipeline_ops import char_shingle_arrays
 
     d = load(spark, sf_dir, "documents")
+    arrs = char_shingle_arrays(d).localCheckpoint(eager=True)
     # Tokens whose GLOBAL first occurrence is this doc, counted per doc:
     # two map-combinable aggregates, no join back to occurrence rows.
     novel = (
-        char_shingles(d)
+        arrs.select("doc_id", F.explode("toks").alias("token"))
         .groupBy("token")
         .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_novel"))
     )
-    totals = char_shingle_counts(d)
+    totals = arrs.select(
+        "doc_id", "lang", F.size("toks").cast("long").alias("n_shingles")
+    )
     n_novel = F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
     return totals.join(novel, "doc_id", "left").select(
         "doc_id",
